@@ -1,0 +1,100 @@
+"""Cross-sectional state distributions & entropy — seqstatd/seqmodst semantics.
+
+Reference semantics (studied, not copied):
+- get_cross_sectional_entropy
+  (/root/reference/sequenzo/.../overall_cross_sectional_entropy.py:16-220):
+  per time position t, weighted state frequencies P[k,t] = Σw·1[s=k] /
+  N_valid(t) (:93-109), Shannon entropy H(t) = -Σ p ln p (:112), normalized
+  by ln K (:114-116), effective states e^H (:121), per-time freq rank and
+  top-k flags (:139-143), tidy long output.
+- get_modal_state_sequence (cross_sectional_indicators.py:105-195): per-time
+  argmax of the weighted frequency matrix (:171-177).
+
+This is THE continuous aggregate of the rollup engine: per (time bucket,
+state) weighted counts are the stored algebraic state; freq / entropy /
+effective-states / rank / modal are derived columns recomputed from counts at
+every tier. All expressions — no UDF, two hash aggregations + one window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cross_sectional_distribution(
+    df: DataFrame,
+    bucket_col: str = "time_bucket",
+    state_col: str = "state",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per (bucket, state): weighted count `state_count`, bucket total
+    `n_valid`, share `freq`, and descending-frequency `freq_rank`."""
+    wexpr = F.col(weight_col) if weight_col else F.lit(1.0)
+    counts = (
+        df.filter(F.col(state_col).isNotNull())
+        .groupBy(F.col(bucket_col).alias("time_bucket"), F.col(state_col).alias("state"))
+        .agg(F.sum(wexpr).alias("state_count"))
+    )
+    wb = Window.partitionBy("time_bucket")
+    wr = Window.partitionBy("time_bucket").orderBy(
+        F.desc("state_count"), F.asc("state")
+    )
+    return (
+        counts.withColumn("n_valid", F.sum("state_count").over(wb))
+        .withColumn("freq", F.col("state_count") / F.col("n_valid"))
+        .withColumn("freq_rank", F.row_number().over(wr))
+    )
+
+
+def cross_sectional_entropy(
+    dist: DataFrame,
+    n_states: int | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Per bucket: Shannon entropy of the state distribution.
+
+    Input is the output of :func:`cross_sectional_distribution` (so entropy is
+    always derived from counts — the algebraic tier state). ``n_states`` is
+    the declared alphabet size K for ln-K normalization (reference :114-116);
+    if None it is computed as the global distinct-state count (broadcast
+    scalar join — matches the reference's superset-alphabet regime when the
+    alphabet equals the observed set).
+
+    Output: time_bucket, n_valid, entropy, entropy_norm, effective_states.
+    """
+    ent = dist.groupBy("time_bucket").agg(
+        F.first("n_valid").alias("n_valid"),
+        (-F.sum(F.col("freq") * F.log(F.col("freq")))).alias("entropy"),
+    )
+    if normalize:
+        if n_states is None:
+            k = dist.select(
+                F.countDistinct("state").alias("_k")
+            )  # 1-row; broadcast cross join
+            ent = ent.crossJoin(F.broadcast(k))
+            knorm = F.log(F.col("_k").cast("double"))
+        else:
+            knorm = F.log(F.lit(float(n_states)))
+        ent = ent.withColumn(
+            "entropy_norm",
+            F.when(knorm == 0.0, F.lit(0.0)).otherwise(F.col("entropy") / knorm),
+        )
+        if n_states is None:
+            ent = ent.drop("_k")
+    return ent.withColumn("effective_states", F.exp(F.col("entropy")))
+
+
+def modal_state(dist: DataFrame) -> DataFrame:
+    """Per bucket: the modal (argmax-frequency) state and its share —
+    seqmodst semantics (:171-177). Ties broken by state name ascending so the
+    result is deterministic under any shuffle order."""
+    return (
+        dist.filter(F.col("freq_rank") == 1)
+        .select(
+            "time_bucket",
+            F.col("state").alias("modal_state"),
+            F.col("state_count").alias("modal_count"),
+            F.col("freq").alias("modal_freq"),
+        )
+    )
