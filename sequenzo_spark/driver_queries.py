@@ -1,0 +1,478 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+The driver's correctness gate runs each ``QUERIES[name]`` on
+/root/testdata/sf0.01 and compares row count, schema, and an
+order-insensitive value hash against ``ORACLE_SQL[name]`` executed by DuckDB
+on the same parquet files. Rules honored here:
+- every computed column aliased identically on both sides;
+- every derived float rounded to 9 dp on BOTH sides (sum order differs
+  between engines; integer counts stay exact);
+- sequence ordering is the stable (ts, event_id) tuple so both engines
+  derive the identical turn order.
+
+The ``events`` table plays the transcript role (FIXTURES.md §4):
+user_id→conv_id, event_type→role/state, ts→ts, row_number→turn_idx.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sequenzo_spark.operators.distributions import (
+    cross_sectional_distribution,
+    cross_sectional_entropy,
+    modal_state,
+)
+from sequenzo_spark.operators.indicators import sequence_indicators, turbulence
+from sequenzo_spark.operators.spells import spell_table
+from sequenzo_spark.operators.transitions import transition_counts, transition_rates
+
+R = 9  # rounding for derived floats on both sides
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _event_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → canonical sequence frame (seq_id, pos, state, ts).
+
+    pos = row_number over the stable (ts, event_id) order — the engine's
+    stable-ordering invariant (SURVEY.md §1.2)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").alias("seq_id"),
+        F.row_number().over(w).alias("pos"),
+        F.col("event_type").alias("state"),
+        "ts",
+        "value",
+        "event_id",
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def q_state_dist_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional state distribution per 1h bucket (seqstatd freqs,
+    overall_cross_sectional_entropy.py:93-109)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "time_bucket", F.date_trunc("hour", "ts")
+    )
+    dist = cross_sectional_distribution(ev, "time_bucket", "event_type")
+    return dist.select(
+        "time_bucket",
+        "state",
+        "state_count",
+        "n_valid",
+        F.round("freq", R).alias("freq"),
+        F.col("freq_rank").cast("long").alias("freq_rank"),
+    )
+
+
+def q_xsect_entropy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket Shannon entropy, ln-K normalized, K = global distinct
+    states (overall_cross_sectional_entropy.py:112-121)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "time_bucket", F.date_trunc("hour", "ts")
+    )
+    dist = cross_sectional_distribution(ev, "time_bucket", "event_type")
+    ent = cross_sectional_entropy(dist, n_states=None)
+    return ent.select(
+        "time_bucket",
+        "n_valid",
+        F.round("entropy", R).alias("entropy"),
+        F.round("entropy_norm", R).alias("entropy_norm"),
+        F.round("effective_states", R).alias("effective_states"),
+    )
+
+
+def q_modal_state_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day modal state (seqmodst argmax, cross_sectional_indicators.py:171-177)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "time_bucket", F.date_trunc("day", "ts")
+    )
+    dist = cross_sectional_distribution(ev, "time_bucket", "event_type")
+    m = modal_state(dist)
+    return m.select(
+        "time_bucket",
+        "modal_state",
+        "modal_count",
+        F.round("modal_freq", R).alias("modal_freq"),
+    )
+
+
+def q_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global weighted from→to transition counts (trate count=True,
+    get_sm_trate_substitution_cost_matrix.pyx:73-93)."""
+    turns = _event_turns(spark, sf_dir)
+    return transition_counts(turns).orderBy("from_state", "to_state")
+
+
+def q_transition_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized transition probabilities P(to|from)."""
+    turns = _event_turns(spark, sf_dir)
+    rates = transition_rates(transition_counts(turns))
+    return rates.select(
+        "from_state",
+        "to_state",
+        "transition_count",
+        F.round("transition_rate", R).alias("transition_rate"),
+    )
+
+
+def q_transition_counts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-varying transition counts per day bucket of the from-event
+    (trate time_varying=True, :50-71, buckets instead of raw positions)."""
+    turns = _event_turns(spark, sf_dir).withColumn(
+        "time_bucket", F.date_trunc("day", "ts")
+    )
+    return transition_counts(turns, bucket_col="time_bucket")
+
+
+def q_spell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence spell stats over the spell table (seqdur semantics +
+    var_pop, variance_of_spell_durations.py:45-48)."""
+    turns = _event_turns(spark, sf_dir)
+    spells = spell_table(turns)
+    return spells.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.sum("duration").alias("total_turns"),
+        F.round(F.avg("duration"), R).alias("mean_spell_duration"),
+        F.round(F.coalesce(F.var_pop("duration"), F.lit(0.0)), R).alias(
+            "spell_duration_var"
+        ),
+        F.max("duration").alias("max_spell_duration"),
+    )
+
+
+def q_seq_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence indicator battery (length, visited, transitions,
+    entropy, complexity…) — SURVEY.md §2.4 rows seqlength/seqtransn/
+    seqient/seqici/seqivolatility."""
+    turns = _event_turns(spark, sf_dir)
+    k = turns.select(F.countDistinct("state")).first()[0]
+    ind = sequence_indicators(turns, n_states=int(k))
+    return ind.select(
+        "seq_id",
+        "length",
+        "visited",
+        "transitions",
+        F.round("entropy", R).alias("entropy"),
+        F.round("entropy_norm", R).alias("entropy_norm"),
+        F.round("transitions_norm", R).alias("transitions_norm"),
+        "n_spells",
+        F.round("mean_spell_duration", R).alias("mean_spell_duration"),
+        F.round("recurrence", R).alias("recurrence"),
+        F.round("complexity", R).alias("complexity"),
+        F.round("volatility", R).alias("volatility"),
+    )
+
+
+def q_seqconc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqconc: join states into 'A-B-C' per sequence in stable order
+    (sequence_operations/operations.py:49-71). Array sorted by (pos) inside
+    the aggregate — never relies on shuffle order."""
+    turns = _event_turns(spark, sf_dir)
+    arr = F.array_sort(F.collect_list(F.struct("pos", "state")))
+    return turns.groupBy("seq_id").agg(
+        F.array_join(F.transform(arr, lambda s: s["state"]), "-").alias("seq_str"),
+        F.count(F.lit(1)).alias("length"),
+    )
+
+
+def q_value_rollup_1h_from_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample-cascade check: aggregate value to 1m tier, then RE-MERGE
+    the algebraic 1m state into 1h (SURVEY.md §4 — sums/counts/min/max merge;
+    avg derived after the merge). Oracle computes 1h directly, so a hash
+    match proves the cascade is exact."""
+    ev = _t(spark, sf_dir, "events")
+    m1 = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("m_bucket"),
+        F.col("event_type").alias("state"),
+    ).agg(
+        F.sum("value").alias("value_sum"),
+        F.count("value").alias("value_count"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+    h1 = m1.groupBy(
+        F.date_trunc("hour", "m_bucket").alias("time_bucket"), "state"
+    ).agg(
+        F.round(F.sum("value_sum"), R).alias("value_sum"),
+        F.sum("value_count").alias("value_count"),
+        F.min("value_min").alias("value_min"),
+        F.max("value_max").alias("value_max"),
+    )
+    return h1.withColumn(
+        "value_avg", F.round(F.col("value_sum") / F.col("value_count"), R)
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents: hash-groupBy on md5(text); keeper =
+    min(doc_id); one row per distinct text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality ratios per document (whitespace tokens,
+    char counts, punctuation density) — training-data text analysis."""
+    docs = _t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    n_chars = F.length(F.col("text"))
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_text"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        F.round(
+            F.when(n_chars == 0, F.lit(0.0)).otherwise(
+                n_punct.cast("double") / n_chars
+            ),
+            R,
+        ).alias("punct_ratio"),
+    )
+
+
+def q_turbulence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence turbulence (seqST) — subsequence-count DP is not
+    SQL-expressible; driver records the rows-only check."""
+    turns = _event_turns(spark, sf_dir)
+    t = turbulence(turns)
+    return t.select(
+        "seq_id", "n_spells", F.round("phi", 3).alias("phi"),
+        F.round("turbulence", R).alias("turbulence"),
+    )
+
+
+QUERIES = {
+    "state_dist_hourly": q_state_dist_hourly,
+    "xsect_entropy_hourly": q_xsect_entropy_hourly,
+    "modal_state_daily": q_modal_state_daily,
+    "transition_counts": q_transition_counts,
+    "transition_rates": q_transition_rates,
+    "transition_counts_daily": q_transition_counts_daily,
+    "spell_stats": q_spell_stats,
+    "seq_indicators": q_seq_indicators,
+    "seqconc": q_seqconc,
+    "value_rollup_1h_from_1m": q_value_rollup_1h_from_1m,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "turbulence": q_turbulence,
+}
+
+# ------------------------------------------------------------- oracle SQL
+
+_TURNS_CTE = """
+turns AS (
+    SELECT user_id AS seq_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+           event_type AS state, ts, value, event_id
+    FROM events
+)"""
+
+_SPELLS_CTE = _TURNS_CTE + """,
+marked AS (
+    SELECT *, CASE WHEN lag(state) OVER (PARTITION BY seq_id ORDER BY pos)
+                        IS DISTINCT FROM state THEN 1 ELSE 0 END AS chg
+    FROM turns
+),
+grouped AS (
+    SELECT *, sum(chg) OVER (PARTITION BY seq_id ORDER BY pos) AS spell_id
+    FROM marked
+),
+spells AS (
+    SELECT seq_id, spell_id, min(state) AS state, count(*) AS duration
+    FROM grouped GROUP BY seq_id, spell_id
+)"""
+
+ORACLE_SQL = {
+    "state_dist_hourly": f"""
+        WITH c AS (
+            SELECT date_trunc('hour', ts) AS time_bucket, event_type AS state,
+                   CAST(count(*) AS DOUBLE) AS state_count
+            FROM events GROUP BY 1, 2
+        )
+        SELECT time_bucket, state, state_count,
+               sum(state_count) OVER (PARTITION BY time_bucket) AS n_valid,
+               round(state_count / sum(state_count) OVER (PARTITION BY time_bucket), {R}) AS freq,
+               row_number() OVER (PARTITION BY time_bucket
+                                  ORDER BY state_count DESC, state ASC) AS freq_rank
+        FROM c
+    """,
+    "xsect_entropy_hourly": f"""
+        WITH c AS (
+            SELECT date_trunc('hour', ts) AS time_bucket, event_type AS state,
+                   CAST(count(*) AS DOUBLE) AS state_count
+            FROM events GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT time_bucket, state, state_count,
+                   sum(state_count) OVER (PARTITION BY time_bucket) AS n_valid
+            FROM c
+        ),
+        k AS (SELECT CAST(count(DISTINCT event_type) AS DOUBLE) AS kk FROM events)
+        SELECT time_bucket,
+               any_value(n_valid) AS n_valid,
+               round(-sum((state_count / n_valid) * ln(state_count / n_valid)), {R}) AS entropy,
+               round(-sum((state_count / n_valid) * ln(state_count / n_valid))
+                     / ln((SELECT kk FROM k)), {R}) AS entropy_norm,
+               round(exp(-sum((state_count / n_valid) * ln(state_count / n_valid))), {R})
+                   AS effective_states
+        FROM d GROUP BY time_bucket
+    """,
+    "modal_state_daily": f"""
+        WITH c AS (
+            SELECT date_trunc('day', ts) AS time_bucket, event_type AS state,
+                   CAST(count(*) AS DOUBLE) AS state_count
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT *, sum(state_count) OVER (PARTITION BY time_bucket) AS n_valid,
+                   row_number() OVER (PARTITION BY time_bucket
+                                      ORDER BY state_count DESC, state ASC) AS rk
+            FROM c
+        )
+        SELECT time_bucket, state AS modal_state, state_count AS modal_count,
+               round(state_count / n_valid, {R}) AS modal_freq
+        FROM r WHERE rk = 1
+    """,
+    "transition_counts": f"""
+        WITH {_TURNS_CTE},
+        pairs AS (
+            SELECT state AS from_state,
+                   lead(state) OVER (PARTITION BY seq_id ORDER BY pos) AS to_state
+            FROM turns
+        )
+        SELECT from_state, to_state, CAST(count(*) AS DOUBLE) AS transition_count
+        FROM pairs WHERE to_state IS NOT NULL
+        GROUP BY from_state, to_state
+    """,
+    "transition_rates": f"""
+        WITH {_TURNS_CTE},
+        pairs AS (
+            SELECT state AS from_state,
+                   lead(state) OVER (PARTITION BY seq_id ORDER BY pos) AS to_state
+            FROM turns
+        ),
+        counts AS (
+            SELECT from_state, to_state, CAST(count(*) AS DOUBLE) AS transition_count
+            FROM pairs WHERE to_state IS NOT NULL
+            GROUP BY from_state, to_state
+        )
+        SELECT from_state, to_state, transition_count,
+               round(transition_count /
+                     sum(transition_count) OVER (PARTITION BY from_state), {R})
+                   AS transition_rate
+        FROM counts
+    """,
+    "transition_counts_daily": f"""
+        WITH {_TURNS_CTE},
+        pairs AS (
+            SELECT date_trunc('day', ts) AS time_bucket, state AS from_state,
+                   lead(state) OVER (PARTITION BY seq_id ORDER BY pos) AS to_state
+            FROM turns
+        )
+        SELECT time_bucket, from_state, to_state,
+               CAST(count(*) AS DOUBLE) AS transition_count
+        FROM pairs WHERE to_state IS NOT NULL
+        GROUP BY time_bucket, from_state, to_state
+    """,
+    "spell_stats": f"""
+        WITH {_SPELLS_CTE}
+        SELECT seq_id, count(*) AS n_spells, sum(duration) AS total_turns,
+               round(avg(duration), {R}) AS mean_spell_duration,
+               round(coalesce(var_pop(duration), 0.0), {R}) AS spell_duration_var,
+               max(duration) AS max_spell_duration
+        FROM spells GROUP BY seq_id
+    """,
+    "seq_indicators": f"""
+        WITH {_SPELLS_CTE},
+        k AS (SELECT CAST(count(DISTINCT event_type) AS DOUBLE) AS kk FROM events),
+        base AS (
+            SELECT seq_id, count(*) AS length,
+                   CAST(count(DISTINCT state) AS BIGINT) AS visited
+            FROM turns GROUP BY seq_id
+        ),
+        tr AS (
+            SELECT seq_id, CAST(count(*) - 1 AS BIGINT) AS n_spells_m1,
+                   count(*) AS n_spells
+            FROM spells GROUP BY seq_id
+        ),
+        ent AS (
+            SELECT seq_id,
+                   -sum((c * 1.0 / tot) * ln(c * 1.0 / tot)) AS entropy
+            FROM (
+                SELECT seq_id, state, count(*) AS c,
+                       sum(count(*)) OVER (PARTITION BY seq_id) AS tot
+                FROM turns GROUP BY seq_id, state
+            ) GROUP BY seq_id
+        ),
+        sp AS (
+            SELECT seq_id, count(*) AS sp_n, round(avg(duration), {R}) AS mean_spell_duration
+            FROM spells GROUP BY seq_id
+        )
+        SELECT b.seq_id, b.length, b.visited, t.n_spells_m1 AS transitions,
+               round(e.entropy, {R}) AS entropy,
+               round(e.entropy / ln((SELECT kk FROM k)), {R}) AS entropy_norm,
+               round(CASE WHEN b.length <= 1 THEN 0.0
+                          ELSE t.n_spells_m1 * 1.0 / (b.length - 1) END, {R})
+                   AS transitions_norm,
+               t.n_spells, s.mean_spell_duration,
+               round(t.n_spells * 1.0 / b.visited, {R}) AS recurrence,
+               round(sqrt((CASE WHEN b.length <= 1 THEN 0.0
+                                ELSE t.n_spells_m1 * 1.0 / (b.length - 1) END)
+                          * (e.entropy / ln((SELECT kk FROM k)))), {R}) AS complexity,
+               round(0.5 * (b.visited - 1) / ((SELECT kk FROM k) - 1)
+                     + 0.5 * (CASE WHEN b.length <= 1 THEN 0.0
+                                   ELSE t.n_spells_m1 * 1.0 / (b.length - 1) END), {R})
+                   AS volatility
+        FROM base b JOIN tr t USING (seq_id) JOIN ent e USING (seq_id)
+             JOIN sp s USING (seq_id)
+    """,
+    "seqconc": f"""
+        WITH {_TURNS_CTE}
+        SELECT seq_id,
+               string_agg(state, '-' ORDER BY pos) AS seq_str,
+               count(*) AS length
+        FROM turns GROUP BY seq_id
+    """,
+    "value_rollup_1h_from_1m": f"""
+        SELECT date_trunc('hour', ts) AS time_bucket, event_type AS state,
+               round(sum(value), {R}) AS value_sum,
+               count(value) AS value_count,
+               min(value) AS value_min,
+               max(value) AS value_max,
+               round(round(sum(value), {R}) / count(value), {R}) AS value_avg
+        FROM events GROUP BY 1, 2
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, count(*) AS dup_count,
+               min(doc_id) AS keeper_doc_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "token_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_text,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+                   AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                   AS BIGINT) AS n_punct,
+               round(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                          * 1.0 / length(text) END, {R}) AS punct_ratio
+        FROM documents
+    """,
+    # "turbulence": intentionally absent — subsequence DP is not SQL-expressible.
+}
