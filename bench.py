@@ -1,0 +1,119 @@
+"""Bench harness — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Measures:
+1. per-query wall time of every driver-contract query (driver_queries.py)
+   at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+   local[$SPARK_GRAFT_CPUS];
+2. rollup-cascade throughput (turns/sec through raw→1m→1h→1d + Gorilla) on
+   the deterministic synthetic transcript table, run in SEPARATE processes
+   at two parallelism levels (cores/4 and cores) for the N-vs-4N scaling
+   efficiency criterion (BASELINE.md). Set SPARK_GRAFT_BENCH_FAST=1 to skip
+   the scaling pair and run the cascade once at full cores.
+
+Output: {"metric": "e2e_suite_sec", "value": <total sec>, "unit": "sec",
+"queries": {...}, "sf": <sf>, "cascade": {...}, "scaling": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FAST = os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1"
+# cascade size ~ sf0.1: ~20k convs × ~27 avg turns + 5k giant ≈ 560k turns
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_queries() -> dict[str, float]:
+    from sequenzo_spark import get_spark
+    from sequenzo_spark.driver_queries import QUERIES
+
+    spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return times
+
+
+def run_cascade_at(cores: int) -> dict:
+    with tempfile.TemporaryDirectory(prefix=f"bench_cascade_{cores}_") as td:
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "sequenzo_spark.benchjob",
+                "--cores",
+                str(cores),
+                "--n-convs",
+                str(N_CONVS),
+                "--out",
+                td,
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env={**os.environ, "PYTHONPATH": REPO},
+            check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+
+def main() -> None:
+    t_start = time.time()
+    queries = run_queries()
+
+    scaling: dict = {}
+    lo_cores, hi_cores = max(CPUS // 4, 2), CPUS
+    hi = run_cascade_at(hi_cores)
+    cascade = hi
+    if not FAST:
+        lo = run_cascade_at(lo_cores)
+        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi_cores / lo_cores)
+        scaling = {
+            f"throughput@{lo_cores}": lo["turns_per_sec"],
+            f"throughput@{hi_cores}": hi["turns_per_sec"],
+            "cores_ratio": hi_cores / lo_cores,
+            "scaling_efficiency": round(eff, 3),
+        }
+
+    total = round(time.time() - t_start, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_from_dir(SF_DIR),
+                "cascade": cascade,
+                "rollup_turns_per_sec": cascade["turns_per_sec"],
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Single-parallelism cascade bench job (subprocess unit).
+
+Run as ``python -m sequenzo_spark.benchjob --cores N --n-convs C --out DIR``:
+generates the deterministic synthetic transcript table (synth.py), writes it
+to parquet (input staging — generation excluded from the timed window), runs
+the full raw→1m→1h→1d+Gorilla cascade, and prints one JSON line
+{cores, n_turns, wall_sec, turns_per_sec}.
+
+bench.py launches this at two parallelism levels (e.g. 8 and 32 cores) in
+SEPARATE processes — one JVM per level — to evidence the N-vs-4N scaling
+efficiency criterion (BASELINE.md): each level gets a fresh SparkSession
+with shuffle partitions sized to its cores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--cores", type=int, required=True)
+    p.add_argument("--n-convs", type=int, default=5000)
+    p.add_argument("--giant", type=int, default=5000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", required=True)
+    p.add_argument("--salt-buckets", type=int, default=32)
+    args = p.parse_args()
+
+    from sequenzo_spark import get_spark
+    from sequenzo_spark.rollup.cascade import run_cascade
+    from sequenzo_spark.schema import ROLE_ALPHABET
+    from sequenzo_spark.synth import generate_transcripts
+
+    spark = get_spark(
+        f"bench-cascade-{args.cores}",
+        cores=args.cores,
+        shuffle_partitions=max(args.cores, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    staging = f"{args.out}/transcripts"
+    shutil.rmtree(args.out, ignore_errors=True)
+    generate_transcripts(
+        spark,
+        n_convs=args.n_convs,
+        seed=args.seed,
+        giant_conv_turns=args.giant,
+        partitions=args.cores * 2,
+    ).write.mode("overwrite").parquet(staging)
+    transcripts = spark.read.parquet(staging)
+    n_turns = transcripts.count()
+
+    t0 = time.time()
+    run_cascade(
+        spark,
+        transcripts,
+        f"{args.out}/cascade",
+        states=ROLE_ALPHABET,
+        salt_buckets=args.salt_buckets,
+        job_id=f"bench-{args.cores}",
+        resume=False,
+    )
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            dict(
+                cores=args.cores,
+                n_turns=n_turns,
+                wall_sec=round(wall, 3),
+                turns_per_sec=round(n_turns / wall, 1),
+            )
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -136,14 +136,24 @@ def q_spell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_pop, variance_of_spell_durations.py:45-48)."""
     turns = _event_turns(spark, sf_dir)
     spells = spell_table(turns)
-    return spells.groupBy("seq_id").agg(
+    g = spells.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_spells"),
         F.sum("duration").alias("total_turns"),
-        F.round(F.avg("duration"), R).alias("mean_spell_duration"),
-        F.round(F.coalesce(F.var_pop("duration"), F.lit(0.0)), R).alias(
-            "spell_duration_var"
-        ),
+        F.sum(F.col("duration") * F.col("duration")).alias("_sq"),
         F.max("duration").alias("max_spell_duration"),
+    )
+    # variance from exact integer sums with a fixed expression order so the
+    # DuckDB oracle computes the bit-identical double before rounding
+    n = F.col("n_spells").cast("double")
+    mean = F.col("total_turns") / n
+    var = F.col("_sq") / n - mean * mean
+    return g.select(
+        "seq_id",
+        "n_spells",
+        "total_turns",
+        F.round(mean, R).alias("mean_spell_duration"),
+        F.round(var, R).alias("spell_duration_var"),
+        "max_spell_duration",
     )
 
 
@@ -255,6 +265,68 @@ def q_turbulence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- training-data pipeline queries
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (≥0.8) via shingle equijoin —
+    complete for any τ>0 (pipeline/dedup.py)."""
+    from sequenzo_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    return pairs.select("d1", "d2", F.round("jaccard", R).alias("jaccard"))
+
+
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequenzo_spark.pipeline.text import quality_metrics
+
+    return quality_metrics(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequenzo_spark.pipeline.text import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0's embedding."""
+    from sequenzo_spark.pipeline.similarity import brute_force_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = brute_force_cosine_topk(emb, list(qvec), k=10)
+    return top.select("vec_id", F.round("cosine", R).alias("cosine"))
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup candidates — probabilistic, so
+    rows-only driver check; recall/precision asserted in unit tests."""
+    from sequenzo_spark.pipeline.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs).filter(F.col("jaccard_est") >= 0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints — hash function differs across engines,
+    rows-only driver check."""
+    from sequenzo_spark.pipeline.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-10 — approximate, rows-only driver check;
+    agreement with brute force asserted in unit tests."""
+    from sequenzo_spark.pipeline.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = lsh_cosine_topk(emb, list(qvec), k=10)
+    return top.select("vec_id", F.round("cosine", R).alias("cosine"))
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -269,6 +341,13 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "turbulence": q_turbulence,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "quality_metrics": q_quality_metrics,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "simhash": q_simhash,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
 }
 
 # ------------------------------------------------------------- oracle SQL
@@ -389,12 +468,22 @@ ORACLE_SQL = {
         GROUP BY time_bucket, from_state, to_state
     """,
     "spell_stats": f"""
-        WITH {_SPELLS_CTE}
-        SELECT seq_id, count(*) AS n_spells, sum(duration) AS total_turns,
-               round(avg(duration), {R}) AS mean_spell_duration,
-               round(coalesce(var_pop(duration), 0.0), {R}) AS spell_duration_var,
-               max(duration) AS max_spell_duration
-        FROM spells GROUP BY seq_id
+        WITH {_SPELLS_CTE},
+        g AS (
+            SELECT seq_id, count(*) AS n_spells, sum(duration) AS total_turns,
+                   sum(duration * duration) AS sq,
+                   max(duration) AS max_spell_duration
+            FROM spells GROUP BY seq_id
+        )
+        SELECT seq_id, n_spells, total_turns,
+               round(total_turns / CAST(n_spells AS DOUBLE), {R})
+                   AS mean_spell_duration,
+               round(sq / CAST(n_spells AS DOUBLE)
+                     - (total_turns / CAST(n_spells AS DOUBLE))
+                       * (total_turns / CAST(n_spells AS DOUBLE)), {R})
+                   AS spell_duration_var,
+               max_spell_duration
+        FROM g
     """,
     "seq_indicators": f"""
         WITH {_SPELLS_CTE},
@@ -475,4 +564,76 @@ ORACLE_SQL = {
         FROM documents
     """,
     # "turbulence": intentionally absent — subsequence DP is not SQL-expressible.
+    "ngram_jaccard_pairs": f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN range(1, len(t) - 1)]) AS shingles
+            FROM toks WHERE len(t) >= 3
+        ),
+        ex AS (
+            SELECT doc_id, unnest(shingles) AS s, len(shingles) AS c FROM sh
+        ),
+        pairs AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+                   any_value(a.c) AS c1, any_value(b.c) AS c2
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d1, d2,
+               round(inter * 1.0 / (c1 + c2 - inter), {R}) AS jaccard
+        FROM pairs WHERE inter * 1.0 / (c1 + c2 - inter) >= 0.8
+    """,
+    "quality_metrics": f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+               round(CASE WHEN len(t) = 0 THEN 0.0
+                     ELSE len(list_distinct(t)) * 1.0 / len(t) END, {R})
+                   AS type_token_ratio,
+               round(CASE WHEN len(t) = 0 THEN 0.0
+                     ELSE list_sum(list_transform(t, x -> length(x))) * 1.0
+                          / len(t) END, {R}) AS mean_token_len,
+               round(CASE WHEN len(t) = 0 THEN 0.0
+                     ELSE len(list_filter(t, x -> list_contains(
+                              ['the','a','of','to','in','and','is'], x)))
+                          * 1.0 / len(t) END, {R}) AS stopword_ratio,
+               round(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                          * 1.0 / length(text) END, {R}) AS alpha_ratio
+        FROM base
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   regexp_split_to_array(trim(text), '\\s+'))), ' '))
+                   AS fingerprint
+        FROM documents
+    """,
+    "cosine_topk": f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id,
+                   list_sum(list_transform(list_zip(e.embedding, q.qe),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(e.embedding,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+                       AS cos_raw
+            FROM embeddings e, q
+        )
+        SELECT vec_id, round(cos_raw, {R}) AS cosine
+        FROM scored ORDER BY cos_raw DESC, vec_id ASC LIMIT 10
+    """,
 }

@@ -1,0 +1,76 @@
+"""TraMineR-style sequence string operations — seqconc / seqdecomp / seqsep /
+seqshift / seqrecode / seqasnum, recast as column expressions.
+
+Reference semantics (studied, not copied) from
+/root/reference/sequenzo/sequence_operations/operations.py:
+- seqconc (:49-71): join states 'A-B-C' skipping NA;
+- seqdecomp (:74-95): split + right-pad with NA to fixed width;
+- seqsep (:98-112): insert separator into a compact string ('ABC'→'A-B-C');
+- seqshift (:115-125): shift a sequence by k with NA padding;
+- seqrecode (:128-196): state remapping with optional `otherwise`;
+- seqasnum (:199-219): 0-based numeric recode, missing excluded.
+
+All operate on either an array<string> column (long format collected per
+sequence) or per-row state columns; everything is whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+
+def seqconc(states: Column, sep: str = "-") -> Column:
+    """Array of states → 'A-B-C', skipping NULLs (operations.py:49-71)."""
+    return F.array_join(F.filter(states, lambda s: s.isNotNull()), sep)
+
+
+def seqdecomp(seq_str: Column, width: int, sep: str = "-") -> Column:
+    """'A-B-C' → array padded with NULL to ``width`` (operations.py:74-95)."""
+    arr = F.split(seq_str, sep)
+    pad = F.array_repeat(F.lit(None).cast("string"), width)
+    return F.slice(F.concat(arr, pad), 1, width)
+
+
+def seqsep(compact: Column, sep: str = "-", width: int = 1) -> Column:
+    """'ABC' → 'A-B-C' by fixed-width chunking (operations.py:98-112)."""
+    n_chunks = F.ceil(F.length(compact) / width).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx, lambda i: F.substring(compact, (i * width + 1).cast("int"), width)
+    )
+    return F.array_join(chunks, sep)
+
+
+def seqshift(
+    state_col: str,
+    k: int,
+    seq_col: str = "seq_id",
+    order_col: str = "pos",
+) -> Column:
+    """Shift states by k within a sequence, NULL-padded
+    (operations.py:115-125): positive k delays (lag), negative advances."""
+    w = Window.partitionBy(seq_col).orderBy(order_col)
+    return F.lag(state_col, k).over(w) if k >= 0 else F.lead(
+        state_col, -k
+    ).over(w)
+
+
+def seqrecode(
+    state: Column, mapping: dict[str, str], otherwise: str | None = None
+) -> Column:
+    """Remap states via a literal map; unmapped → ``otherwise`` (or kept)
+    (operations.py:128-196)."""
+    if not mapping:
+        return state
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    mapped = F.element_at(m, state)
+    fallback = F.lit(otherwise) if otherwise is not None else state
+    return F.coalesce(mapped, fallback)
+
+
+def seqasnum(state: Column, states: list[str]) -> Column:
+    """0-based numeric recode in declaration order; missing → NULL
+    (operations.py:199-219)."""
+    pos = F.array_position(F.array(*[F.lit(s) for s in states]), state)
+    return F.when(pos > 0, (pos - 1).cast("int")).otherwise(F.lit(None))

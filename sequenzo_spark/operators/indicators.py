@@ -176,6 +176,9 @@ def turbulence(
     Spell stats are plain aggregates; only φ needs the pandas-UDF DP, fed by
     an ordered ``collect_list`` of spell states (sorted by spell_id inside the
     array for determinism, never relying on shuffle order)."""
+    from sequenzo_spark import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
     spells = spell_table(df, seq_col, order_col, state_col)
     per = spells.groupBy(F.col(seq_col).alias("seq_id")).agg(
         F.array_sort(

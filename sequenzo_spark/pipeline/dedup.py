@@ -1,0 +1,210 @@
+"""Deduplication operators for training-data pipelines.
+
+All four families, Spark-first (pure expressions wherever possible — no
+Python in the hot path):
+
+- exact:       hash-groupBy on md5(text);
+- n-gram Jaccard: word-shingle explode → shingle-equijoin → exact Jaccard.
+  For a threshold τ>0 the candidate set {pairs sharing ≥1 shingle} is
+  COMPLETE (J(a,b)>0 ⇒ a∩b≠∅), so this is exact near-dup detection, not an
+  approximation. The shingle join is the scalable plan: cost ∝ Σ shingle
+  co-occurrences, not O(n²). At 100 TB, frequent-shingle hotspots are capped
+  with a document-frequency filter (`max_shingle_df`).
+- MinHash + LSH: k=n_hashes signatures via xxhash64(shingle, seed_i)
+  minimum — one expression per hash, JVM-side, no UDF; banding hashes
+  signature slices into buckets; bucket-equijoin yields candidates (tunable
+  recall/precision). Probabilistic → verified by unit test, not SQL oracle.
+- SimHash: 64-bit sign-aggregated token hashes via bit-counting expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array column (whole-stage
+    codegen: sequence + transform + slice, no UDF)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min(id_col).alias("keeper_doc_id"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs with word-n-gram Jaccard ≥ threshold.
+
+    One explode + one self-equijoin on shingle + one pair aggregation.
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (stop-shingle skew cap for web scale; exactness then holds for pairs
+    whose similarity survives on rarer shingles)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ex = sh.select(
+        "doc_id", F.explode("sh").alias("s"), F.size("sh").alias("c")
+    )
+    if max_shingle_df:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.c")).alias("c1"),
+            F.first(F.col("b.c")).alias("c2"),
+        )
+    )
+    jac = F.col("inter") / (F.col("c1") + F.col("c2") - F.col("inter"))
+    return pairs.select(
+        "d1", "d2", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k MinHash values per doc: min over shingles of xxhash64(shingle, i).
+    Pure expressions (k array_min/transform columns), deterministic."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: candidate pairs sharing ≥1 band bucket, with the
+    estimated Jaccard = fraction of matching signature positions.
+
+    bands=16 of rows=4 over 64 hashes → P(candidate) ≈ 1−(1−j⁴)¹⁶
+    (≈0.99 at j=0.8). The band join is the scale path: shuffle keyed by
+    (band, bucket_hash), never O(n²)."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, n, text_col, id_col)
+    bucketed = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", bi * rows + r + 1)
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.signature").alias("s1"),
+            F.col("b.signature").alias("s2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    # estimated Jaccard = fraction of matching signature positions
+    est = (
+        F.size(
+            F.filter(F.zip_with("s1", "s2", lambda x, y: x == y), lambda m: m)
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+    return cand.select("d1", "d2", est.alias("jaccard_est"))
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash of the token multiset: bit b of the fingerprint is the
+    majority sign over tokens of bit b of xxhash64(token). Expressed as 64
+    conditional-sum aggregates over exploded tokens — JVM-side."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select("doc_id", fp.alias("simhash"))

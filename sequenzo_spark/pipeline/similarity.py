@@ -1,0 +1,119 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_cosine_topk: the exact baseline — cosine of every vector
+  against a query vector via zip_with/aggregate expressions (JVM-side fold,
+  deterministic left-to-right summation), orderBy desc limit k. At scale
+  this is one scan + a TakeOrdered (no shuffle of the full table).
+- lsh_cosine_topk: the scale path — random-hyperplane (sign) LSH buckets;
+  only vectors sharing a bucket with the query are scored. Hyperplanes are
+  drawn deterministically from a seed via xxhash64-based pseudo-randoms, so
+  results are reproducible at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_cosine_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        cosine_col(F.col(vec_col), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j derived from a
+    splitmix-style integer mix of (seed, plane_idx, j), mapped to [-1, 1)."""
+    out = []
+    for j in range(dim):
+        z = (seed * 0x9E3779B97F4A7C15 + plane_idx * 0xBF58476D1CE4E5B9 + j) % (
+            1 << 64
+        )
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        z ^= z >> 31
+        out.append((z / float(1 << 63)) - 1.0)
+    return out
+
+
+def signature_bits_col(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Sign-LSH bucket id: bit i = 1[<v, plane_i> >= 0]."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors landing in the query's bucket
+    in ANY of ``n_tables`` independent sign-LSH tables, then exact cosine.
+
+    Candidate filter is a pure expression (OR of bucket equalities with
+    literal query buckets) → Catalyst pushes it into the scan."""
+    import math
+
+    dim = len(query_vec)
+    cond = None
+    for t in range(n_tables):
+        planes = [
+            _hyperplane(dim, t * n_planes + i, seed) for i in range(n_planes)
+        ]
+        qb = 0
+        for i, p in enumerate(planes):
+            dot = sum(a * b for a, b in zip(query_vec, p))
+            qb |= (1 if dot >= 0 else 0) << i
+        eq = signature_bits_col(vec_col, planes) == F.lit(qb)
+        cond = eq if cond is None else (cond | eq)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (
+        vectors.filter(cond)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            cosine_col(F.col(vec_col), q).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

@@ -1,0 +1,376 @@
+"""The resumable raw→1m→1h→1d downsample cascade.
+
+Stage graph (SURVEY.md §3.4):
+
+  transcripts ─encode→ encoded_turns ─rollup_1m→ {state_counts, transitions,
+  spells}@1m ─rollup_1h→ …@1h ─rollup_1d→ …@1d
+
+Partitioning / batching / resume design:
+
+- Every table is written partitioned by (conv_bucket, part_date) — the north
+  rule's salted, skew-aware (conv_id bucket, time bucket) key. Dynamic
+  partition overwrite makes re-running a half-written batch idempotent.
+- The ENCODE stage batches by part_date (row-local work, no windows).
+- The RAW→1M stage batches by **conv_bucket**, NOT by date: every
+  conversation lives in exactly one bucket, so lead/lag and spell windows
+  always see the complete sequence — a conversation spanning midnight loses
+  no transitions and no spell is split (batching by date would corrupt
+  both). Partition pruning on conv_bucket keeps each batch's scan narrow.
+- The 1M→1H and 1H→1D stages batch by part_date again: tier merges are
+  per-time-bucket algebraic re-aggregations (aggregates.py), and minute
+  buckets never straddle a day boundary.
+- Resume: each stage left-anti-joins its batch keys against the manifest
+  (checkpoint/manifest.py) and recomputes only missing ones. The manifest
+  row is committed strictly AFTER the data write, so a crash leaves either
+  (data+lineage) or (partial data, no lineage → overwritten on rerun).
+- Higher tiers read the lower tier's WRITTEN FILES, never the raw data.
+
+At 100 TB: `batch_*` bounds per-job input; salt_buckets spreads giant
+conversations; each rollup is one partial+final hash aggregation whose
+grouping key prefixes the write partition key, so no second shuffle before
+the write. AQE handles residual skew within a batch.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sequenzo_spark.checkpoint.manifest import Manifest
+from sequenzo_spark.ingest import encode_states, refined_alphabet_col
+from sequenzo_spark.rollup.aggregates import (
+    merge_spells,
+    merge_state_counts,
+    merge_transitions,
+    rollup_1m_fused,
+    with_conv_bucket,
+)
+
+TIER_TABLES = ("state_counts", "transitions", "spells")
+PART_COLS = ["conv_bucket", "part_date"]
+
+
+@dataclass
+class CascadeResult:
+    job_id: str
+    stages_run: list[str] = field(default_factory=list)
+    partitions_done: dict[str, int] = field(default_factory=dict)
+    partitions_skipped: dict[str, int] = field(default_factory=dict)
+    rows_out: dict[str, int] = field(default_factory=dict)
+    wall_ms: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def total_rows_out(self) -> int:
+        return sum(self.rows_out.values())
+
+
+class InjectedFailure(RuntimeError):
+    pass
+
+
+def _chunk(xs: list, size: int | None):
+    if not size:
+        yield xs
+        return
+    for i in range(0, len(xs), size):
+        yield xs[i : i + size]
+
+
+def _write_and_measure(
+    spark: SparkSession, df: DataFrame, path: str
+) -> list[tuple[str, int, int]]:
+    """Write partitioned parquet + collect per-(cb,date) (key, rows, checksum)
+    in the same pass: the batch output is persisted once, the write streams
+    from cache, and the metrics aggregation reuses it — no read-back of the
+    files we just wrote (that doubled the I/O per stage)."""
+    df = df.persist()
+    try:
+        df.write.mode("overwrite").partitionBy(*PART_COLS).parquet(path)
+        cols = df.columns
+        agg = (
+            df.withColumn("_h", F.xxhash64(*cols))
+            .groupBy(*PART_COLS)
+            .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_h)").alias("cs"))
+            .collect()
+        )
+    finally:
+        df.unpersist()
+    return [
+        (f"{r['conv_bucket']}/{r['part_date']}", r["n"], r["cs"]) for r in agg
+    ]
+
+
+def _check_job_config(
+    spark: SparkSession,
+    out_root: str,
+    job_id: str,
+    salt_buckets: int,
+    states: list[str],
+    use_refined: bool,
+) -> None:
+    """Refuse to resume a job whose partitioning/alphabet config drifted —
+    a different salt_buckets would silently mix two incompatible bucketings
+    in the same tables (caught live by a verification probe)."""
+    import json
+    import os
+
+    path = f"{out_root}/_job_config.json"
+    cfg = dict(
+        job_id=job_id,
+        salt_buckets=salt_buckets,
+        states=list(states),
+        use_refined_alphabet=use_refined,
+    )
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev != cfg:
+            raise ValueError(
+                f"job config drift for out_root={out_root}: previous run used "
+                f"{prev}, this run requests {cfg}; use a fresh out_root or "
+                "delete the old tables"
+            )
+    else:
+        os.makedirs(out_root, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(cfg, f)
+
+
+def run_cascade(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_root: str,
+    states: list[str],
+    job_id: str = "cascade",
+    salt_buckets: int = 32,
+    state_col: str = "role",
+    use_refined_alphabet: bool = False,
+    batch_dates: int | None = None,
+    batch_buckets: int | None = None,
+    resume: bool = True,
+    fail_after_batches: int | None = None,
+    compress: bool = True,
+) -> CascadeResult:
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    _check_job_config(
+        spark, out_root, job_id, salt_buckets, states, use_refined_alphabet
+    )
+    manifest = Manifest(spark, f"{out_root}/_manifest")
+    res = CascadeResult(job_id=job_id)
+    failures_left = [fail_after_batches]
+
+    def run_stage(
+        stage: str,
+        batch_keys: list,
+        batch_filter,  # (df, batch) -> df
+        build,  # (sub) -> dict table -> DataFrame with PART_COLS
+        src: DataFrame,
+        batch_size: int | None,
+    ):
+        # manifest rows are per fine (conv_bucket/part_date) partition; a
+        # batch key is done iff any of its fine keys committed (they commit
+        # atomically together, after the data write).
+        done = (
+            {_batch_of(stage, k) for k in manifest.completed(job_id, stage)}
+            if resume
+            else set()
+        )
+        remaining = [k for k in batch_keys if str(k) not in done]
+        res.stages_run.append(stage)
+        res.partitions_skipped[stage] = len(batch_keys) - len(remaining)
+        res.partitions_done[stage] = 0
+        res.rows_out[stage] = 0
+        t_stage = time.time()
+        for batch in _chunk(remaining, batch_size):
+            if not batch:
+                continue
+            t0 = time.time()
+            sub = batch_filter(src, batch)
+            built = build(sub)
+            outputs, cleanup = (
+                built if isinstance(built, tuple) else (built, None)
+            )
+            commit_rows: list[dict] = []
+            wall = None
+            for tname, tdf in outputs.items():
+                path = (
+                    f"{out_root}/{stage}/{tname}"
+                    if len(outputs) > 1
+                    else f"{out_root}/{stage}"
+                )
+                metrics = _write_and_measure(spark, tdf, path)
+                wall = int((time.time() - t0) * 1000)
+                for key, n, cs in metrics:
+                    res.rows_out[stage] += n
+                    commit_rows.append(
+                        dict(
+                            job_id=job_id,
+                            stage=stage,
+                            partition_key=key,
+                            table=tname,
+                            rows_out=n,
+                            checksum=cs,
+                            wall_ms=wall,
+                        )
+                    )
+            if cleanup is not None:
+                cleanup()
+            manifest.commit(commit_rows)
+            res.partitions_done[stage] += len(batch)
+            if failures_left[0] is not None:
+                failures_left[0] -= 1
+                if failures_left[0] <= 0:
+                    raise InjectedFailure(
+                        f"injected failure after a committed batch in {stage}"
+                    )
+        res.wall_ms[stage] = int((time.time() - t_stage) * 1000)
+
+    def _batch_of(stage: str, part_key: str) -> str:
+        cb, date = part_key.split("/", 1)
+        return cb if stage == "rollup_1m" else date
+
+    # ---- stage: encode (batched by date; carries text unchanged) ---------
+    enc_src = with_conv_bucket(transcripts, buckets=salt_buckets).withColumn(
+        "part_date", F.to_date("ts").cast("string")
+    )
+    enc_src = enc_src.withColumn(
+        "state",
+        refined_alphabet_col() if use_refined_alphabet else F.col(state_col),
+    )
+    enc_dates = sorted(
+        r.part_date
+        for r in enc_src.select("part_date").distinct().collect()
+    )
+    run_stage(
+        "encode",
+        enc_dates,
+        lambda df, b: df.filter(F.col("part_date").isin([str(x) for x in b])),
+        lambda sub: {"encoded_turns": encode_states(sub, states, state_col="state")},
+        enc_src,
+        batch_dates,
+    )
+
+    # ---- stage: rollup_1m — batched by conv_bucket (full conv context) ---
+    encoded = spark.read.parquet(f"{out_root}/encode")
+
+    def build_1m(sub: DataFrame):
+        enriched, tables = rollup_1m_fused(sub)
+        out = {
+            name: df.withColumn(
+                "part_date", F.to_date("time_bucket").cast("string")
+            )
+            for name, df in tables.items()
+        }
+        return out, lambda: enriched.unpersist()
+
+    run_stage(
+        "rollup_1m",
+        list(range(salt_buckets)),
+        lambda df, b: df.filter(F.col("conv_bucket").isin([int(x) for x in b])),
+        build_1m,
+        encoded,
+        batch_buckets,
+    )
+
+    # ---- stages: rollup_1h, rollup_1d (merge the lower tier's files) -----
+    mergers = {
+        "state_counts": merge_state_counts,
+        "transitions": merge_transitions,
+        "spells": merge_spells,
+    }
+    for tier, lower in (("1h", "rollup_1m"), ("1d", "rollup_1h")):
+        stage = f"rollup_{tier}"
+        lower_paths = {t: f"{out_root}/{lower}/{t}" for t in TIER_TABLES}
+        dates = sorted(
+            r.part_date
+            for r in spark.read.parquet(lower_paths["state_counts"])
+            .select("part_date")
+            .distinct()
+            .collect()
+        )
+
+        def build_tier(sub_dates_df, _tier=tier, _paths=lower_paths):
+            days = [
+                r.part_date
+                for r in sub_dates_df.select("part_date").distinct().collect()
+            ]
+            out = {}
+            for tname, fn in mergers.items():
+                low = spark.read.parquet(_paths[tname]).filter(
+                    F.col("part_date").isin(days)
+                )
+                out[tname] = fn(low, _tier).withColumn(
+                    "part_date", F.to_date("time_bucket").cast("string")
+                )
+            return out
+
+        lower_sc = spark.read.parquet(lower_paths["state_counts"])
+        run_stage(
+            stage,
+            dates,
+            lambda df, b: df.filter(
+                F.col("part_date").isin([str(x) for x in b])
+            ),
+            build_tier,
+            lower_sc,
+            batch_dates,
+        )
+
+    # ---- stages: gorilla_{1m,1h,1d} — compress tier points to chunks -----
+    # One Gorilla chunk per (conv_bucket, state, day): timestamps = the
+    # tier's time buckets, values = w_sum. Stored blobs are the tier's
+    # durable point format (north rule); decompression is bit-exact
+    # (compression/gorilla.py).
+    if compress:
+        from sequenzo_spark.compression.gorilla import gorilla_compress_chunks
+
+        for tier in ("1m", "1h", "1d"):
+            stage = f"gorilla_{tier}"
+            src = spark.read.parquet(f"{out_root}/rollup_{tier}/state_counts")
+            dates = sorted(
+                str(r.part_date)
+                for r in src.select("part_date").distinct().collect()
+            )
+
+            def build_gorilla(sub: DataFrame):
+                pts = sub.select(
+                    "conv_bucket",
+                    "state",
+                    F.col("part_date").cast("string").alias("part_date"),
+                    F.col("time_bucket").alias("ts"),
+                    F.col("w_sum").alias("value"),
+                )
+                chunks = gorilla_compress_chunks(
+                    pts,
+                    key_cols=["conv_bucket", "state", "part_date"],
+                    ts_col="ts",
+                    value_col="value",
+                )
+                return {"points_gorilla": chunks}
+
+            run_stage(
+                stage,
+                dates,
+                lambda df, b: df.filter(
+                    F.col("part_date").cast("string").isin([str(x) for x in b])
+                ),
+                build_gorilla,
+                src,
+                batch_dates,
+            )
+
+    return res
+
+
+def text_passthrough_violations(
+    raw: DataFrame, encoded_turns: DataFrame
+) -> int:
+    """Per-turn text equality under stable (conv_id, turn_idx, ts) ordering:
+    symmetric anti-join count — must be 0 (BASELINE.md invariant)."""
+    key = ["conv_id", "turn_idx", "ts", "text"]
+    a = raw.select(*key)
+    b = encoded_turns.select(*key)
+    return a.exceptAll(b).count() + b.exceptAll(a).count()

@@ -1,0 +1,85 @@
+"""Training-data pipeline operators: probabilistic ones are verified against
+their exact counterparts on the driver testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequenzo_spark.pipeline.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from sequenzo_spark.pipeline.similarity import (
+    brute_force_cosine_topk,
+    lsh_cosine_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_minhash_lsh_recall_on_planted_dups(spark, docs):
+    exact = {
+        (r.d1, r.d2)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert len(exact) >= 5, "testdata should contain planted near-dups"
+    cand = {
+        (r.d1, r.d2) for r in minhash_lsh_candidates(docs).collect()
+    }
+    found = exact & cand
+    # 16 bands × 4 rows at j≥0.8 → expected recall ≈ 1-(1-0.8^4)^16 ≈ 0.9996
+    assert len(found) / len(exact) >= 0.9, (len(found), len(exact))
+
+
+def test_minhash_estimate_close_to_exact(spark, docs):
+    exact = {
+        (r.d1, r.d2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    est = {
+        (r.d1, r.d2): r.jaccard_est
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    checked = 0
+    for pair, j in exact.items():
+        if pair in est:
+            assert abs(est[pair] - j) < 0.25, (pair, j, est[pair])
+            checked += 1
+    assert checked >= 5
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    sims = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert pairs
+    for r in pairs:
+        ham = bin((sims[r.d1] ^ sims[r.d2]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 16, (r.d1, r.d2, ham)
+
+
+def test_lsh_cosine_topk_overlaps_brute_force(spark, emb):
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    bf = [r.vec_id for r in brute_force_cosine_topk(emb, qvec, k=10).collect()]
+    ann = [r.vec_id for r in lsh_cosine_topk(emb, qvec, k=10).collect()]
+    assert bf[0] == 0  # the query vector itself is its own nearest neighbor
+    assert ann[0] == 0
+    # sign-LSH with 4 tables of 8 planes: expect most of the true top-10
+    assert len(set(bf) & set(ann)) >= 5, (bf, ann)
+
+
+def test_brute_force_topk_is_exact_and_sorted(spark, emb):
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    rows = brute_force_cosine_topk(emb, qvec, k=10).collect()
+    assert abs(rows[0].cosine - 1.0) < 1e-9
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
