@@ -5,10 +5,10 @@ Measures:
    at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
    local[$SPARK_GRAFT_CPUS];
 2. rollup-cascade throughput (turns/sec through raw→1m→1h→1d + Gorilla) on
-   the deterministic synthetic transcript table, run in SEPARATE processes
-   at two parallelism levels (cores/4 and cores) for the N-vs-4N scaling
-   efficiency criterion (BASELINE.md). Set SPARK_GRAFT_BENCH_FAST=1 to skip
-   the scaling pair and run the cascade once at full cores.
+   the deterministic synthetic transcript table (subprocess, own JVM).
+   Set SPARK_GRAFT_BENCH_SCALING=1 to also run the 2-vs-8-core scaling pair
+   inline (~15 min); the committed evidence lives in BENCH/BASELINE.md via
+   scripts/run_scaling.py.
 
 Output: {"metric": "e2e_suite_sec", "value": <total sec>, "unit": "sec",
 "queries": {...}, "sf": <sf>, "cascade": {...}, "scaling": {...}}.
@@ -28,7 +28,6 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-FAST = os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1"
 # cascade size ~ sf0.1: ~20k convs × ~27 avg turns + 5k giant ≈ 560k turns
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
 
@@ -84,12 +83,20 @@ def main() -> None:
     t_start = time.time()
     queries = run_queries()
 
+    # single cascade at a core count that leaves JVM/OS headroom on this
+    # shared box (local[cores] with cores == nproc oversubscribes: the JVM's
+    # GC/shuffle/Python workers compete with the task threads).
+    cascade_cores = min(CPUS, 16)
+    cascade = run_cascade_at(cascade_cores)
+
+    # the N-vs-4N scaling evidence runs a 10× larger input at 2 and 8 cores
+    # (scripts/run_scaling.py, results committed in BENCH/BASELINE.md);
+    # doing it inline here is opt-in because the pair takes ~15 min.
     scaling: dict = {}
-    lo_cores, hi_cores = max(CPUS // 4, 2), CPUS
-    hi = run_cascade_at(hi_cores)
-    cascade = hi
-    if not FAST:
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
+        lo_cores, hi_cores = 2, 8
         lo = run_cascade_at(lo_cores)
+        hi = run_cascade_at(hi_cores)
         eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi_cores / lo_cores)
         scaling = {
             f"throughput@{lo_cores}": lo["turns_per_sec"],

@@ -30,20 +30,29 @@ def main() -> None:
     p.add_argument("--salt-buckets", type=int, default=32)
     args = p.parse_args()
 
+    import os
+
     from sequenzo_spark import get_spark
     from sequenzo_spark.rollup.cascade import run_cascade
     from sequenzo_spark.schema import ROLE_ALPHABET
     from sequenzo_spark.synth import generate_transcripts
 
+    # shuffle/spill on tmpfs + a heap that fits the enriched persist: the
+    # physical /tmp disk plus a borderline 8g heap made identical runs vary
+    # >2× from nondeterministic spills.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    shutil.rmtree(args.out, ignore_errors=True)  # before the session: the
+    # shuffle/spill dir lives under args.out
+    local_dir = f"{args.out}/_spark_local"
     spark = get_spark(
         f"bench-cascade-{args.cores}",
         cores=args.cores,
         shuffle_partitions=max(args.cores, 8),
+        extra_conf={"spark.local.dir": local_dir},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     staging = f"{args.out}/transcripts"
-    shutil.rmtree(args.out, ignore_errors=True)
     generate_transcripts(
         spark,
         n_convs=args.n_convs,
@@ -55,7 +64,7 @@ def main() -> None:
     n_turns = transcripts.count()
 
     t0 = time.time()
-    run_cascade(
+    res = run_cascade(
         spark,
         transcripts,
         f"{args.out}/cascade",
@@ -72,6 +81,8 @@ def main() -> None:
                 n_turns=n_turns,
                 wall_sec=round(wall, 3),
                 turns_per_sec=round(n_turns / wall, 1),
+                stage_sec={k: round(v / 1000, 2) for k, v in res.wall_ms.items()},
+                rows_out=res.rows_out,
             )
         )
     )

@@ -74,11 +74,12 @@ def q_state_dist_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_xsect_entropy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket Shannon entropy, ln-K normalized, K = global distinct
     states (overall_cross_sectional_entropy.py:112-121)."""
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "time_bucket", F.date_trunc("hour", "ts")
-    )
-    dist = cross_sectional_distribution(ev, "time_bucket", "event_type")
-    ent = cross_sectional_entropy(dist, n_states=None)
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("time_bucket"),
+        F.col("event_type").alias("state"),
+    ).agg(F.sum(F.lit(1.0)).alias("state_count"))
+    ent = cross_sectional_entropy(counts, n_states=None)
     return ent.select(
         "time_bucket",
         "n_valid",

@@ -54,18 +54,38 @@ def cross_sectional_entropy(
 ) -> DataFrame:
     """Per bucket: Shannon entropy of the state distribution.
 
-    Input is the output of :func:`cross_sectional_distribution` (so entropy is
-    always derived from counts — the algebraic tier state). ``n_states`` is
-    the declared alphabet size K for ln-K normalization (reference :114-116);
-    if None it is computed as the global distinct-state count (broadcast
-    scalar join — matches the reference's superset-alphabet regime when the
-    alphabet equals the observed set).
+    Input is the output of :func:`cross_sectional_distribution` (or any frame
+    with time_bucket/state_count), so entropy is always derived from counts —
+    the algebraic tier state. ``n_states`` is the declared alphabet size K
+    for ln-K normalization (reference :114-116); if None it is computed as
+    the global distinct-state count (broadcast scalar join — the reference's
+    superset-alphabet regime when the alphabet equals the observed set).
+
+    The per-bucket counts are folded in SORTED state order (array_sort +
+    aggregate) so the float64 result is identical at any parallelism — the
+    bit-exactness requirement — and the whole computation is one hash
+    aggregation, no window pass.
 
     Output: time_bucket, n_valid, entropy, entropy_norm, effective_states.
     """
-    ent = dist.groupBy("time_bucket").agg(
-        F.first("n_valid").alias("n_valid"),
-        (-F.sum(F.col("freq") * F.log(F.col("freq")))).alias("entropy"),
+    g = dist.groupBy("time_bucket").agg(
+        F.array_sort(
+            F.collect_list(F.struct("state", "state_count"))
+        ).alias("_arr")
+    )
+    n_valid = F.aggregate(
+        F.col("_arr"), F.lit(0.0), lambda a, s: a + s["state_count"]
+    )
+    g = g.withColumn("n_valid", n_valid)
+    ent_sum = F.aggregate(
+        F.col("_arr"),
+        F.lit(0.0),
+        lambda a, s: a
+        + (s["state_count"] / F.col("n_valid"))
+        * F.log(s["state_count"] / F.col("n_valid")),
+    )
+    ent = g.select(
+        "time_bucket", "n_valid", (-ent_sum + F.lit(0.0)).alias("entropy")
     )
     if normalize:
         if n_states is None:

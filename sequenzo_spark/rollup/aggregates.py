@@ -153,27 +153,36 @@ def rollup_1m_fused(
     upstream at encode if desired.
     """
     w = Window.partitionBy(seq_col).orderBy(order_col)
+    wp = Window.partitionBy(seq_col)
     prev = F.lag(state_col).over(w)
-    is_new = (prev.isNull() | (prev != F.col(state_col))).cast("int")
-    wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    wexpr = F.col(weight_col) if weight_col else F.lit(1.0)
-    enriched = (
-        turns.filter(F.col(state_col).isNotNull())
-        .select(
-            "conv_bucket",
-            F.col(seq_col).alias("_seq"),
-            F.col(state_col).alias("state"),
-            F.col(ts_col).alias("ts"),
-            wexpr.alias("_w"),
-            F.lead(state_col).over(w).alias("next_state"),
-            F.sum(is_new).over(wc).alias("spell_id"),
+    is_new = prev.isNull() | (prev != F.col(state_col))
+    # when unweighted, w_sum ≡ count (sums of 1.0 are exact integers in
+    # float64) — skip materializing a constant weight column in the persist.
+    cols = [
+        "conv_bucket",
+        F.col(seq_col).alias("_seq"),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("ts"),
+        F.lead(state_col).over(w).alias("next_state"),
+        is_new.alias("is_boundary"),
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(wp).alias("_len"),
+    ]
+    if weight_col:
+        cols.insert(4, F.col(weight_col).alias("_w"))
+    enriched = turns.filter(F.col(state_col).isNotNull()).select(*cols).persist()
+
+    def wsum(alias):
+        return (
+            F.sum("_w").alias(alias)
+            if weight_col
+            else F.count(F.lit(1)).cast("double").alias(alias)
         )
-        .persist()
-    )
+
     mb = F.date_trunc("minute", F.col("ts"))
     sc = enriched.groupBy(
         "conv_bucket", mb.alias("time_bucket"), "state"
-    ).agg(F.count(F.lit(1)).alias("n_turns"), F.sum("_w").alias("w_sum"))
+    ).agg(F.count(F.lit(1)).alias("n_turns"), wsum("w_sum"))
     tr = (
         enriched.filter(F.col("next_state").isNotNull())
         .groupBy(
@@ -182,27 +191,25 @@ def rollup_1m_fused(
             F.col("state").alias("from_state"),
             F.col("next_state").alias("to_state"),
         )
-        .agg(F.count(F.lit(1)).alias("t_count"), F.sum("_w").alias("w_count"))
+        .agg(F.count(F.lit(1)).alias("t_count"), wsum("w_count"))
     )
-    sp = (
-        enriched.groupBy("conv_bucket", "_seq", "spell_id")
-        .agg(
-            F.min("state").alias("state"),  # constant within a spell
-            F.count(F.lit(1)).alias("duration"),
-            F.min("ts").alias("ts_start"),
-        )
-        .groupBy(
-            "conv_bucket",
-            F.date_trunc("minute", F.col("ts_start")).alias("time_bucket"),
-            "state",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_spells"),
-            F.sum("duration").alias("dur_sum"),
-            F.sum(F.col("duration") * F.col("duration")).alias("dur_sq_sum"),
-            F.min("duration").alias("dur_min"),
-            F.max("duration").alias("dur_max"),
-        )
+    # spells without a per-(seq, spell) shuffle: each spell is its boundary
+    # row; duration = next boundary's rank − own rank (or to end of seq).
+    # The boundary-row lead() shares the (seq, order) partitioning of the
+    # first window pass — no extra exchange of the wide data.
+    boundary = enriched.filter(F.col("is_boundary"))
+    next_rk = F.lead("_rk").over(Window.partitionBy("_seq").orderBy("_rk"))
+    spells_rows = boundary.withColumn(
+        "duration", F.coalesce(next_rk, F.col("_len") + 1) - F.col("_rk")
+    )
+    sp = spells_rows.groupBy(
+        "conv_bucket", mb.alias("time_bucket"), "state"
+    ).agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.sum("duration").alias("dur_sum"),
+        F.sum(F.col("duration") * F.col("duration")).alias("dur_sq_sum"),
+        F.min("duration").alias("dur_min"),
+        F.max("duration").alias("dur_max"),
     )
     return enriched, {"state_counts": sc, "transitions": tr, "spells": sp}
 

@@ -79,14 +79,52 @@ def _chunk(xs: list, size: int | None):
         yield xs[i : i + size]
 
 
+def _list_part_dates(path: str) -> list[str]:
+    """Distinct part_date partition values from the DIRECTORY LISTING —
+    zero Spark jobs, no data scan (Iceberg metadata tables give the same at
+    cluster scale). Layout: path/conv_bucket=*/part_date=*."""
+    import glob
+    import os
+
+    vals = {
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(path, "conv_bucket=*", "part_date=*"))
+    }
+    return sorted(vals)
+
+
 def _write_and_measure(
-    spark: SparkSession, df: DataFrame, path: str
-) -> list[tuple[str, int, int]]:
-    """Write partitioned parquet + collect per-(cb,date) (key, rows, checksum)
-    in the same pass: the batch output is persisted once, the write streams
-    from cache, and the metrics aggregation reuses it — no read-back of the
-    files we just wrote (that doubled the I/O per stage)."""
-    df = df.persist()
+    spark: SparkSession, df: DataFrame, path: str, checksums: bool = True
+) -> list[tuple[str, int, int | None]]:
+    """Write partitioned parquet + collect per-(cb,date) (key, rows, checksum).
+
+    checksums=True (tier tables, small): the batch output is persisted once,
+    the write streams from cache, and the metrics aggregation reuses it — no
+    read-back of the files just written.
+
+    checksums=False (the bulk passthrough encode stage): no persist, no
+    second pass over the data — per-partition row counts come from the
+    written parquet FOOTERS (a columnless grouped count reads metadata
+    only). The encode invariant is covered separately by the
+    text-passthrough check.
+
+    Both paths repartition by the write layout first: one task per
+    (cb, date) partition dir → one file each, instead of every task spraying
+    a small file into every dir (small-files write amplification)."""
+    if not checksums:
+        df.repartition(*[F.col(c) for c in PART_COLS]).write.mode(
+            "overwrite"
+        ).partitionBy(*PART_COLS).parquet(path)
+        agg = (
+            spark.read.parquet(path)
+            .groupBy(*PART_COLS)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return [
+            (f"{r['conv_bucket']}/{r['part_date']}", r["n"], None) for r in agg
+        ]
+    df = df.repartition(*[F.col(c) for c in PART_COLS]).persist()
     try:
         df.write.mode("overwrite").partitionBy(*PART_COLS).parquet(path)
         cols = df.columns
@@ -166,9 +204,10 @@ def run_cascade(
         stage: str,
         batch_keys: list,
         batch_filter,  # (df, batch) -> df
-        build,  # (sub) -> dict table -> DataFrame with PART_COLS
+        build,  # (sub, batch) -> dict table -> DataFrame with PART_COLS
         src: DataFrame,
         batch_size: int | None,
+        checksums: bool = True,
     ):
         # manifest rows are per fine (conv_bucket/part_date) partition; a
         # batch key is done iff any of its fine keys committed (they commit
@@ -189,20 +228,32 @@ def run_cascade(
                 continue
             t0 = time.time()
             sub = batch_filter(src, batch)
-            built = build(sub)
+            built = build(sub, batch)
             outputs, cleanup = (
                 built if isinstance(built, tuple) else (built, None)
             )
             commit_rows: list[dict] = []
-            wall = None
-            for tname, tdf in outputs.items():
+
+            def write_one(item):
+                tname, tdf = item
                 path = (
                     f"{out_root}/{stage}/{tname}"
                     if len(outputs) > 1
                     else f"{out_root}/{stage}"
                 )
-                metrics = _write_and_measure(spark, tdf, path)
-                wall = int((time.time() - t0) * 1000)
+                return tname, _write_and_measure(
+                    spark, tdf, path, checksums=checksums
+                )
+
+            # the stage's tables are independent → submit their write jobs
+            # concurrently; the Spark scheduler interleaves their stages and
+            # keeps all cores busy instead of serializing three small jobs.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(outputs)) as pool:
+                results = list(pool.map(write_one, outputs.items()))
+            wall = int((time.time() - t0) * 1000)
+            for tname, metrics in results:
                 for key, n, cs in metrics:
                     res.rows_out[stage] += n
                     commit_rows.append(
@@ -248,15 +299,16 @@ def run_cascade(
         "encode",
         enc_dates,
         lambda df, b: df.filter(F.col("part_date").isin([str(x) for x in b])),
-        lambda sub: {"encoded_turns": encode_states(sub, states, state_col="state")},
+        lambda sub, _b: {"encoded_turns": encode_states(sub, states, state_col="state")},
         enc_src,
         batch_dates,
+        checksums=False,  # bulk passthrough: footer counts only (see above)
     )
 
     # ---- stage: rollup_1m — batched by conv_bucket (full conv context) ---
     encoded = spark.read.parquet(f"{out_root}/encode")
 
-    def build_1m(sub: DataFrame):
+    def build_1m(sub: DataFrame, _batch):
         enriched, tables = rollup_1m_fused(sub)
         out = {
             name: df.withColumn(
@@ -284,83 +336,75 @@ def run_cascade(
     for tier, lower in (("1h", "rollup_1m"), ("1d", "rollup_1h")):
         stage = f"rollup_{tier}"
         lower_paths = {t: f"{out_root}/{lower}/{t}" for t in TIER_TABLES}
-        dates = sorted(
-            r.part_date
-            for r in spark.read.parquet(lower_paths["state_counts"])
-            .select("part_date")
-            .distinct()
-            .collect()
-        )
+        dates = _list_part_dates(lower_paths["state_counts"])
 
-        def build_tier(sub_dates_df, _tier=tier, _paths=lower_paths):
-            days = [
-                r.part_date
-                for r in sub_dates_df.select("part_date").distinct().collect()
-            ]
+        def build_tier(_sub, batch, _tier=tier, _paths=lower_paths):
+            days = [str(b) for b in batch]
             out = {}
             for tname, fn in mergers.items():
                 low = spark.read.parquet(_paths[tname]).filter(
-                    F.col("part_date").isin(days)
+                    F.col("part_date").cast("string").isin(days)
                 )
                 out[tname] = fn(low, _tier).withColumn(
                     "part_date", F.to_date("time_bucket").cast("string")
                 )
             return out
 
-        lower_sc = spark.read.parquet(lower_paths["state_counts"])
         run_stage(
             stage,
             dates,
-            lambda df, b: df.filter(
-                F.col("part_date").isin([str(x) for x in b])
-            ),
+            lambda df, b: df,  # build() reads + prunes the lower tier itself
             build_tier,
-            lower_sc,
+            None,
             batch_dates,
         )
 
-    # ---- stages: gorilla_{1m,1h,1d} — compress tier points to chunks -----
-    # One Gorilla chunk per (conv_bucket, state, day): timestamps = the
-    # tier's time buckets, values = w_sum. Stored blobs are the tier's
+    # ---- stage: gorilla — compress all three tiers' points to chunks -----
+    # One Gorilla chunk per (tier, conv_bucket, state, day): timestamps =
+    # the tier's time buckets, values = w_sum. Stored blobs are the tiers'
     # durable point format (north rule); decompression is bit-exact
-    # (compression/gorilla.py).
+    # (compression/gorilla.py). One stage for all tiers: the three reads
+    # union cheaply and the applyInPandas groups carry a tier key — three
+    # separate stages tripled the fixed orchestration cost.
     if compress:
         from sequenzo_spark.compression.gorilla import gorilla_compress_chunks
 
-        for tier in ("1m", "1h", "1d"):
-            stage = f"gorilla_{tier}"
-            src = spark.read.parquet(f"{out_root}/rollup_{tier}/state_counts")
-            dates = sorted(
-                str(r.part_date)
-                for r in src.select("part_date").distinct().collect()
-            )
+        dates = _list_part_dates(f"{out_root}/rollup_1m/state_counts")
 
-            def build_gorilla(sub: DataFrame):
-                pts = sub.select(
-                    "conv_bucket",
-                    "state",
-                    F.col("part_date").cast("string").alias("part_date"),
-                    F.col("time_bucket").alias("ts"),
-                    F.col("w_sum").alias("value"),
+        def build_gorilla(_sub, batch):
+            days = [str(b) for b in batch]
+            parts = []
+            for tier in ("1m", "1h", "1d"):
+                src = spark.read.parquet(
+                    f"{out_root}/rollup_{tier}/state_counts"
+                ).filter(F.col("part_date").cast("string").isin(days))
+                parts.append(
+                    src.select(
+                        F.lit(tier).alias("tier"),
+                        "conv_bucket",
+                        "state",
+                        F.col("part_date").cast("string").alias("part_date"),
+                        F.col("time_bucket").alias("ts"),
+                        F.col("w_sum").alias("value"),
+                    )
                 )
-                chunks = gorilla_compress_chunks(
-                    pts,
-                    key_cols=["conv_bucket", "state", "part_date"],
-                    ts_col="ts",
-                    value_col="value",
-                )
-                return {"points_gorilla": chunks}
-
-            run_stage(
-                stage,
-                dates,
-                lambda df, b: df.filter(
-                    F.col("part_date").cast("string").isin([str(x) for x in b])
-                ),
-                build_gorilla,
-                src,
-                batch_dates,
+            pts = parts[0].unionByName(parts[1]).unionByName(parts[2])
+            chunks = gorilla_compress_chunks(
+                pts,
+                key_cols=["tier", "conv_bucket", "state", "part_date"],
+                ts_col="ts",
+                value_col="value",
             )
+            return {"points_gorilla": chunks}
+
+        run_stage(
+            "gorilla",
+            dates,
+            lambda df, b: df,
+            build_gorilla,
+            None,
+            batch_dates,
+        )
 
     return res
 

@@ -35,8 +35,7 @@ def test_cascade_end_to_end(spark, raw, tmp_path):
         spark, raw, out, states=ROLE_ALPHABET, salt_buckets=SALT, job_id="j1"
     )
     assert res.stages_run == [
-        "encode", "rollup_1m", "rollup_1h", "rollup_1d",
-        "gorilla_1m", "gorilla_1h", "gorilla_1d",
+        "encode", "rollup_1m", "rollup_1h", "rollup_1d", "gorilla",
     ]
     assert all(v > 0 for v in res.rows_out.values())
 
@@ -88,10 +87,12 @@ def test_cascade_end_to_end(spark, raw, tmp_path):
     # 5. Gorilla chunks decode back to the exact tier points (bit-exact)
     from sequenzo_spark.compression.gorilla import gorilla_decompress_chunks
 
-    chunks = spark.read.parquet(f"{out}/gorilla_1h")
+    chunks = spark.read.parquet(f"{out}/gorilla").filter(F.col("tier") == "1h")
     assert chunks.count() > 0
     back = gorilla_decompress_chunks(
-        chunks, key_cols=["conv_bucket", "state", "part_date"], value_col="value"
+        chunks,
+        key_cols=["tier", "conv_bucket", "state", "part_date"],
+        value_col="value",
     ).select("conv_bucket", "state", F.col("ts").alias("time_bucket"), "value")
     want = got_1h.select("conv_bucket", "state", "time_bucket", "w_sum")
     assert _rows(back, ["conv_bucket", "state", "time_bucket", "value"]) == _rows(
@@ -133,7 +134,7 @@ def test_kill_and_resume_identical_output(spark, raw, tmp_path):
         "rollup_1m/state_counts", "rollup_1m/transitions", "rollup_1m/spells",
         "rollup_1h/state_counts", "rollup_1h/transitions", "rollup_1h/spells",
         "rollup_1d/state_counts", "rollup_1d/transitions", "rollup_1d/spells",
-        "gorilla_1m", "gorilla_1h", "gorilla_1d",
+        "gorilla",
     ):
         a = spark.read.parquet(f"{clean_out}/{table}")
         b = spark.read.parquet(f"{crash_out}/{table}")
@@ -145,6 +146,5 @@ def test_kill_and_resume_identical_output(spark, raw, tmp_path):
     rows = m.collect()
     assert all(r.rows_out >= 0 and r.wall_ms >= 0 for r in rows)
     assert {r.stage for r in rows} == {
-        "encode", "rollup_1m", "rollup_1h", "rollup_1d",
-        "gorilla_1m", "gorilla_1h", "gorilla_1d",
+        "encode", "rollup_1m", "rollup_1h", "rollup_1d", "gorilla",
     }
