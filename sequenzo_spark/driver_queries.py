@@ -266,6 +266,38 @@ def q_turbulence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_locf_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense minute grid over the events value series with LOCF fill —
+    the engine's gap-fill operator (operators/gapfill.py; reference ffill
+    precedent seqdss.pyx:19-21)."""
+    from sequenzo_spark.operators.gapfill import fill_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy(F.date_trunc("minute", "ts").alias("time_bucket")).agg(
+        F.round(F.sum("value"), R).alias("value_sum")
+    )
+    filled = fill_gaps(m, key_cols=[], value_cols=["value_sum"],
+                       step_seconds=60, method="locf")
+    return filled.select("time_bucket", "value_sum", "is_gap")
+
+
+def q_uniqueness_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """check_uniqueness_rate semantics (define_sequence_data.py:1295-1341):
+    distinct whole-sequence patterns / n sequences."""
+    turns = _event_turns(spark, sf_dir)
+    arr = F.array_sort(F.collect_list(F.struct("pos", "state")))
+    seqs = turns.groupBy("seq_id").agg(
+        F.array_join(F.transform(arr, lambda s: s["state"]), "-").alias("s")
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.countDistinct("s").alias("n_unique"),
+        F.round(
+            F.countDistinct("s").cast("double") / F.count(F.lit(1)), R
+        ).alias("uniqueness_rate"),
+    )
+
+
 # ------------------------------------------- training-data pipeline queries
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +370,8 @@ QUERIES = {
     "spell_stats": q_spell_stats,
     "seq_indicators": q_seq_indicators,
     "seqconc": q_seqconc,
+    "gapfill_locf_minutely": q_gapfill_locf_minutely,
+    "uniqueness_rate": q_uniqueness_rate,
     "value_rollup_1h_from_1m": q_value_rollup_1h_from_1m,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -565,6 +599,34 @@ ORACLE_SQL = {
         FROM documents
     """,
     # "turbulence": intentionally absent — subsequence DP is not SQL-expressible.
+    "gapfill_locf_minutely": f"""
+        WITH m AS (
+            SELECT date_trunc('minute', ts) AS tb, round(sum(value), {R}) AS v
+            FROM events GROUP BY 1
+        ),
+        grid AS (
+            SELECT unnest(generate_series((SELECT min(tb) FROM m),
+                                          (SELECT max(tb) FROM m),
+                                          INTERVAL 1 MINUTE)) AS time_bucket
+        ),
+        j AS (SELECT g.time_bucket, m.v FROM grid g LEFT JOIN m ON m.tb = g.time_bucket)
+        SELECT time_bucket,
+               last_value(v IGNORE NULLS) OVER (
+                   ORDER BY time_bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum,
+               v IS NULL AS is_gap
+        FROM j
+    """,
+    "uniqueness_rate": f"""
+        WITH t AS (
+            SELECT user_id,
+                   string_agg(event_type, '-' ORDER BY ts, event_id) AS s
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_seqs, count(DISTINCT s) AS n_unique,
+               round(count(DISTINCT s) * 1.0 / count(*), {R}) AS uniqueness_rate
+        FROM t
+    """,
     "ngram_jaccard_pairs": f"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
