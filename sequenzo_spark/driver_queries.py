@@ -22,9 +22,18 @@ from pyspark.sql import functions as F
 from sequenzo_spark.operators.distributions import (
     cross_sectional_distribution,
     cross_sectional_entropy,
+    js_divergence_consecutive,
     modal_state,
 )
-from sequenzo_spark.operators.indicators import sequence_indicators, turbulence
+from sequenzo_spark.operators.indicators import (
+    entropy_difference,
+    integration_index,
+    mean_time_in_states,
+    sequence_indicators,
+    spell_duration_variance,
+    stat_summary,
+    turbulence,
+)
 from sequenzo_spark.operators.spells import spell_table
 from sequenzo_spark.operators.transitions import transition_counts, transition_rates
 
@@ -208,16 +217,19 @@ def q_value_rollup_1h_from_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
     )
+    # 6 dp (not the usual 9): float sums accumulate in engine-specific order;
+    # at hour scale the order-difference noise (~1e-13 relative) can straddle
+    # a 9-dp rounding boundary — a latent flake flagged by the round-1 advisor.
     h1 = m1.groupBy(
         F.date_trunc("hour", "m_bucket").alias("time_bucket"), "state"
     ).agg(
-        F.round(F.sum("value_sum"), R).alias("value_sum"),
+        F.round(F.sum("value_sum"), 6).alias("value_sum"),
         F.sum("value_count").alias("value_count"),
         F.min("value_min").alias("value_min"),
         F.max("value_max").alias("value_max"),
     )
     return h1.withColumn(
-        "value_avg", F.round(F.col("value_sum") / F.col("value_count"), R)
+        "value_avg", F.round(F.col("value_sum") / F.col("value_count"), 6)
     )
 
 
@@ -298,6 +310,164 @@ def q_uniqueness_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mean_time_in_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqmeant with Var/SD/SE under finite-population correction
+    (cross_sectional_indicators.py:25-102). All moments are exact integer
+    sums → derived floats bit-identical to the oracle."""
+    turns = _event_turns(spark, sf_dir)
+    m = mean_time_in_states(turns, serr=True)
+    return m.select(
+        "state",
+        F.round("mean_time", R).alias("mean_time"),
+        F.round("var_time", R).alias("var_time"),
+        F.round("sd_time", R).alias("sd_time"),
+        F.round("se_time", R).alias("se_time"),
+    )
+
+
+def q_entropy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqientdiff: normalized entropy of per-seq spell-duration vectors
+    (entropy_difference.py:25-103)."""
+    turns = _event_turns(spark, sf_dir)
+    return entropy_difference(turns, norm=True).select(
+        "seq_id", F.round("hdss", R).alias("hdss")
+    )
+
+
+def q_spell_dur_var2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqivardur type 2: non-visited states as 0-duration spells with the
+    closed-form var_max (variance_of_spell_durations.py:50-72)."""
+    turns = _event_turns(spark, sf_dir)
+    k = turns.select(F.countDistinct("state")).first()[0]
+    v = spell_duration_variance(turns, n_states=int(k), var_type=2)
+    return v.select(
+        "seq_id",
+        "n_spells",
+        F.round("meand", R).alias("meand"),
+        F.round("var_spell_dur", R).alias("var_spell_dur"),
+        F.round("var_max", R).alias("var_max"),
+    )
+
+
+def q_turbulence_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized type-2 turbulence (turbulence.py:94-145) — subsequence DP,
+    rows-only driver check; exact toy parity in unit tests."""
+    turns = _event_turns(spark, sf_dir)
+    states = [
+        r[0]
+        for r in turns.select("state").distinct().orderBy("state").collect()
+    ]
+    t = turbulence(turns, var_type=2, norm=True, states=states)
+    return t.select(
+        "seq_id", "n_spells", F.round("phi", 3).alias("phi"),
+        F.round("turbulence", R).alias("turbulence"),
+    )
+
+
+def q_integration_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqintegr: position-weighted share of state 'purchase', power 1
+    (integration_index.py:88)."""
+    turns = _event_turns(spark, sf_dir)
+    ii = integration_index(turns, target_state="purchase", power=1.0)
+    return ii.select("seq_id", F.round("integration", R).alias("integration"))
+
+
+def q_seq_length_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/mean/median/q1/q3/min/max of per-sequence lengths
+    (sequence_statistics.py:85-105) — exact percentile, not approx."""
+    turns = _event_turns(spark, sf_dir)
+    lengths = turns.groupBy("seq_id").agg(F.count(F.lit(1)).alias("length"))
+    s = stat_summary(lengths, "length")
+    return s.select(
+        "count",
+        F.round("mean", R).alias("mean"),
+        F.round("median", R).alias("median"),
+        F.round("min", R).alias("min"),
+        F.round("q1", R).alias("q1"),
+        F.round("q3", R).alias("q3"),
+        F.round("max", R).alias("max"),
+    )
+
+
+def q_jsd_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon distance between consecutive hourly state
+    distributions (system_level_indicators.py:154-184); first bucket 0.0."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "time_bucket", F.date_trunc("hour", "ts")
+    )
+    dist = cross_sectional_distribution(ev, "time_bucket", "event_type")
+    return js_divergence_consecutive(dist).select(
+        "time_bucket", F.round("jsd", R).alias("jsd")
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational rollup over the TPC-H tables: revenue per (region, nation)
+    via lineitem⋈orders⋈customer⋈nation⋈region. The dims are broadcast —
+    `.explain()` shows BroadcastHashJoin for nation/region/customer and one
+    shuffle for the lineitem⋈orders hash join (SURVEY.md §2.3 join tier).
+    Money math in DECIMAL so both engines aggregate exactly, cast to double
+    only at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_person_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Person-period expansion (sequence_history_analysis.py:12-62): one row
+    per observed period 1..time, event flag at the final period only.
+    Person-level rows derived from events (time = turn count capped at 20)."""
+    from sequenzo_spark.functions.reshape import person_period
+
+    ev = _t(spark, sf_dir, "events")
+    person = ev.groupBy(F.col("user_id").alias("id")).agg(
+        F.least(F.count(F.lit(1)), F.lit(20)).cast("int").alias("time"),
+        (F.col("user_id") % 2 == 0).alias("event"),
+    )
+    return person_period(person)
+
+
+def q_find_seq_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqfind (operations.py:277-296): users whose whole event-type sequence
+    exactly matches one of the needle users' sequences (needles: user_id<5)."""
+    from sequenzo_spark.functions.seqops import find_sequence_occurrences
+
+    turns = _event_turns(spark, sf_dir)
+    needles = turns.filter(F.col("seq_id") < 5)
+    return find_sequence_occurrences(needles, turns)
+
+
+def q_xtabs_state_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_xtabs (define_sequence_data.py:1267-1293): weighted contingency of
+    event_type × hour-of-day."""
+    from sequenzo_spark.functions.seqops import get_xtabs
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("state"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    )
+    return get_xtabs(ev, "state", "hour_of_day")
+
+
 # ------------------------------------------- training-data pipeline queries
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,6 +546,17 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "turbulence": q_turbulence,
+    "mean_time_in_states": q_mean_time_in_states,
+    "entropy_diff": q_entropy_diff,
+    "spell_dur_var2": q_spell_dur_var2,
+    "turbulence_norm": q_turbulence_norm,
+    "integration_index": q_integration_index,
+    "seq_length_summary": q_seq_length_summary,
+    "jsd_hourly": q_jsd_hourly,
+    "nation_revenue": q_nation_revenue,
+    "person_period": q_person_period,
+    "find_seq_occurrences": q_find_seq_occurrences,
+    "xtabs_state_hour": q_xtabs_state_hour,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "quality_metrics": q_quality_metrics,
     "doc_fingerprint": q_doc_fingerprint,
@@ -505,8 +686,11 @@ ORACLE_SQL = {
     "spell_stats": f"""
         WITH {_SPELLS_CTE},
         g AS (
-            SELECT seq_id, count(*) AS n_spells, sum(duration) AS total_turns,
-                   sum(duration * duration) AS sq,
+            -- CAST: DuckDB sums BIGINT into HUGEINT (hashes as float64);
+            -- Spark sums into int64 — cast so both sides hash identically.
+            SELECT seq_id, count(*) AS n_spells,
+                   CAST(sum(duration) AS BIGINT) AS total_turns,
+                   CAST(sum(duration * duration) AS BIGINT) AS sq,
                    max(duration) AS max_spell_duration
             FROM spells GROUP BY seq_id
         )
@@ -571,14 +755,24 @@ ORACLE_SQL = {
                count(*) AS length
         FROM turns GROUP BY seq_id
     """,
-    "value_rollup_1h_from_1m": f"""
-        SELECT date_trunc('hour', ts) AS time_bucket, event_type AS state,
-               round(sum(value), {R}) AS value_sum,
-               count(value) AS value_count,
-               min(value) AS value_min,
-               max(value) AS value_max,
-               round(round(sum(value), {R}) / count(value), {R}) AS value_avg
-        FROM events GROUP BY 1, 2
+    "value_rollup_1h_from_1m": """
+        -- mirrors the Spark side's 1m intermediate (cascade shape): both
+        -- engines sum identical minute partials, shrinking accumulation-order
+        -- noise; 6-dp rounding absorbs the residue.
+        WITH m1 AS (
+            SELECT date_trunc('minute', ts) AS m_bucket, event_type AS state,
+                   sum(value) AS value_sum, count(value) AS value_count,
+                   min(value) AS value_min, max(value) AS value_max
+            FROM events GROUP BY 1, 2
+        )
+        SELECT date_trunc('hour', m_bucket) AS time_bucket, state,
+               round(sum(value_sum), 6) AS value_sum,
+               CAST(sum(value_count) AS BIGINT) AS value_count,
+               min(value_min) AS value_min,
+               max(value_max) AS value_max,
+               round(round(sum(value_sum), 6) / CAST(sum(value_count) AS BIGINT), 6)
+                   AS value_avg
+        FROM m1 GROUP BY 1, 2
     """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash, count(*) AS dup_count,
@@ -598,7 +792,190 @@ ORACLE_SQL = {
                           * 1.0 / length(text) END, {R}) AS punct_ratio
         FROM documents
     """,
-    # "turbulence": intentionally absent — subsequence DP is not SQL-expressible.
+    # "turbulence" / "turbulence_norm": intentionally absent — the
+    # subsequence-count DP is not SQL-expressible (exact toy unit tests).
+    "mean_time_in_states": f"""
+        WITH {_TURNS_CTE},
+        tot AS (SELECT CAST(count(DISTINCT seq_id) AS DOUBLE) AS wtot FROM turns),
+        per AS (
+            SELECT seq_id, state, CAST(count(*) AS DOUBLE) AS c
+            FROM turns GROUP BY seq_id, state
+        ),
+        g AS (
+            SELECT state, sum(c) AS swc, sum(c * c) AS swc2
+            FROM per GROUP BY state
+        ),
+        v AS (
+            SELECT state, wtot, swc / wtot AS mean_time,
+                   (swc2 - 2 * (swc / wtot) * swc
+                    + (swc / wtot) * (swc / wtot) * wtot)
+                   * wtot / (wtot * wtot - wtot) AS var_time
+            FROM g, tot
+        )
+        SELECT state, round(mean_time, {R}) AS mean_time,
+               round(var_time, {R}) AS var_time,
+               round(sqrt(var_time), {R}) AS sd_time,
+               round(sqrt(var_time / wtot), {R}) AS se_time
+        FROM v
+    """,
+    "entropy_diff": f"""
+        WITH {_SPELLS_CTE},
+        l AS (
+            SELECT seq_id, duration,
+                   sum(duration) OVER (PARTITION BY seq_id) AS L
+            FROM spells
+        ),
+        e AS (
+            SELECT seq_id,
+                   -sum((duration / CAST(L AS DOUBLE))
+                        * ln(duration / CAST(L AS DOUBLE))) AS ent,
+                   any_value(L) AS L
+            FROM l GROUP BY seq_id
+        )
+        SELECT seq_id,
+               round(CASE WHEN ent > 0 THEN ent / ln(CAST(L AS DOUBLE))
+                     ELSE 0.0 END, {R}) AS hdss
+        FROM e
+    """,
+    "spell_dur_var2": f"""
+        WITH {_SPELLS_CTE},
+        k AS (SELECT CAST(count(DISTINCT event_type) AS DOUBLE) AS kk FROM events),
+        g AS (
+            SELECT seq_id, count(*) AS n_spells,
+                   CAST(sum(duration) AS BIGINT) AS len,
+                   CAST(sum(duration * duration) AS BIGINT) AS sq,
+                   count(DISTINCT state) AS visited
+            FROM spells GROUP BY seq_id
+        ),
+        c1 AS (
+            SELECT seq_id, n_spells, kk,
+                   CAST(n_spells AS DOUBLE) AS dl,
+                   CAST(len AS DOUBLE) AS lg,
+                   CAST(sq AS DOUBLE) AS sqd,
+                   kk - CAST(visited AS DOUBLE) AS nnv
+            FROM g, k
+        ),
+        c2 AS (SELECT *, dl + nnv AS denom, lg / (dl + nnv) AS meand FROM c1),
+        c3 AS (
+            SELECT *,
+                   (sqd - 2 * meand * lg + dl * meand * meand
+                    + nnv * meand * meand) / denom AS var_spell_dur,
+                   CASE WHEN n_spells = 1 THEN kk - 1 ELSE kk - 2 END AS maxnnv
+            FROM c2
+        ),
+        c4 AS (SELECT *, meand * denom / (dl + maxnnv) AS mm FROM c3)
+        SELECT seq_id, n_spells, round(meand, {R}) AS meand,
+               round(var_spell_dur, {R}) AS var_spell_dur,
+               round(((dl - 1) * (1.0 - mm) * (1.0 - mm)
+                      + (lg - dl + 1 - mm) * (lg - dl + 1 - mm)
+                      + maxnnv * mm * mm) / (dl + maxnnv), {R}) AS var_max
+        FROM c4
+    """,
+    "integration_index": f"""
+        WITH {_TURNS_CTE}
+        SELECT seq_id,
+               round(sum(CASE WHEN state = 'purchase'
+                              THEN CAST(pos AS DOUBLE) ELSE 0.0 END)
+                     / sum(CAST(pos AS DOUBLE)), {R}) AS integration
+        FROM turns GROUP BY seq_id
+    """,
+    "seq_length_summary": f"""
+        WITH {_TURNS_CTE},
+        l AS (
+            SELECT seq_id, CAST(count(*) AS DOUBLE) AS length
+            FROM turns GROUP BY seq_id
+        )
+        SELECT CAST(count(length) AS BIGINT) AS count,
+               round(avg(length), {R}) AS mean,
+               round(quantile_cont(length, 0.5), {R}) AS median,
+               round(min(length), {R}) AS min,
+               round(quantile_cont(length, 0.25), {R}) AS q1,
+               round(quantile_cont(length, 0.75), {R}) AS q3,
+               round(max(length), {R}) AS max
+        FROM l
+    """,
+    "jsd_hourly": f"""
+        WITH c AS (
+            SELECT date_trunc('hour', ts) AS tb, event_type AS state,
+                   CAST(count(*) AS DOUBLE) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT tb, state, cnt / sum(cnt) OVER (PARTITION BY tb) AS freq
+            FROM c
+        ),
+        bi AS (
+            SELECT tb, row_number() OVER (ORDER BY tb) AS rn
+            FROM (SELECT DISTINCT tb FROM d)
+        ),
+        st AS (SELECT DISTINCT state FROM d),
+        grid AS (SELECT bi.tb, bi.rn, st.state FROM bi CROSS JOIN st),
+        gf AS (
+            SELECT g.tb, g.rn, g.state, COALESCE(d.freq, 0.0) AS pv
+            FROM grid g LEFT JOIN d ON d.tb = g.tb AND d.state = g.state
+        ),
+        lg AS (
+            SELECT tb, rn, state, pv,
+                   lag(pv) OVER (PARTITION BY state ORDER BY rn) AS qv
+            FROM gf
+        ),
+        t AS (
+            SELECT tb,
+                   0.5 * (CASE WHEN pv > 0
+                               THEN pv * ln(pv / ((pv + qv) / 2))
+                               ELSE 0.0 END)
+                 + 0.5 * (CASE WHEN qv > 0
+                               THEN qv * ln(qv / ((pv + qv) / 2))
+                               ELSE 0.0 END) AS term
+            FROM lg WHERE qv IS NOT NULL
+        ),
+        s AS (SELECT tb, sum(term) AS sm FROM t GROUP BY tb)
+        SELECT bi.tb AS time_bucket,
+               round(CASE WHEN bi.rn = 1 THEN 0.0
+                     ELSE sqrt(greatest(s.sm, 0.0)) END, {R}) AS jsd
+        FROM bi LEFT JOIN s ON s.tb = bi.tb
+    """,
+    "nation_revenue": """
+        SELECT r.r_name AS region, n.n_name AS nation,
+               round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2))
+                                 - CAST(l.l_discount AS DECIMAL(18,2))))
+                          AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    """,
+    "person_period": """
+        WITH p AS (
+            SELECT user_id AS id,
+                   CAST(least(count(*), 20) AS INTEGER) AS t,
+                   (user_id % 2 = 0) AS e
+            FROM events GROUP BY user_id
+        )
+        SELECT id, CAST(gs AS INTEGER) AS time, (gs = t AND e) AS event
+        FROM (SELECT id, t, e, unnest(generate_series(1, t)) AS gs FROM p)
+    """,
+    "find_seq_occurrences": """
+        WITH t AS (
+            SELECT user_id,
+                   string_agg(event_type, '' ORDER BY ts, event_id) AS s
+            FROM events GROUP BY user_id
+        )
+        SELECT a.user_id AS needle_id, b.user_id AS match_id
+        FROM t a JOIN t b ON a.s = b.s
+        WHERE a.user_id < 5
+    """,
+    "xtabs_state_hour": """
+        SELECT event_type AS v1,
+               CAST(date_part('hour', ts) AS BIGINT) AS v2,
+               CAST(count(*) AS DOUBLE) AS weighted_count
+        FROM events GROUP BY 1, 2
+    """,
     "gapfill_locf_minutely": f"""
         WITH m AS (
             SELECT date_trunc('minute', ts) AS tb, round(sum(value), {R}) AS v

@@ -74,3 +74,63 @@ def seqasnum(state: Column, states: list[str]) -> Column:
     (operations.py:199-219)."""
     pos = F.array_position(F.array(*[F.lit(s) for s in states]), state)
     return F.when(pos > 0, (pos - 1).cast("int")).otherwise(F.lit(None))
+
+
+def cut_prefix(arr: Column, x: float = 0) -> Column:
+    """Truncate a numeric array at its first element < x
+    (simple_characteristics.py:201-207 — the reference trims sentinel-padded
+    duration rows; in long format this trims collected arrays)."""
+    below = F.filter(
+        F.transform(arr, lambda v, i: F.when(v < F.lit(x), i + 1)),
+        lambda p: p.isNotNull(),
+    )
+    first_bad = F.when(F.size(below) > 0, F.element_at(below, 1)).otherwise(
+        F.size(arr) + 1
+    )
+    return F.slice(arr, 1, (first_bad - 1).cast("int"))
+
+
+def find_sequence_occurrences(
+    needles,  # DataFrame(seq_id, pos, state) of query sequences
+    haystack,  # DataFrame(seq_id, pos, state) to search
+    seq_col: str = "seq_id",
+    order_col: str = "pos",
+    state_col: str = "state",
+):
+    """seqfind semantics (sequence_operations/operations.py:277-296): for each
+    whole sequence in ``needles``, the ids in ``haystack`` whose ENTIRE state
+    sequence is identical.
+
+    Spark recast: concatenate both sides to canonical strings (stable
+    within-sequence order via array_sort on (pos,state) structs — never
+    shuffle order) and semi-join on the string. The needle side is tiny in
+    the reference's usage → broadcast; at scale it is a plain equi-join on
+    the concat hash."""
+    def conc(df):
+        arr = F.array_sort(F.collect_list(F.struct(order_col, state_col)))
+        return df.groupBy(F.col(seq_col)).agg(
+            F.array_join(
+                F.transform(arr, lambda s: s[state_col]), ""
+            ).alias("_s")
+        )
+
+    n = conc(needles).select(F.col(seq_col).alias("needle_id"), "_s")
+    h = conc(haystack).select(F.col(seq_col).alias("match_id"), "_s")
+    return n.join(h, "_s").select("needle_id", "match_id")
+
+
+def get_xtabs(
+    df,
+    col1: str,
+    col2: str,
+    weight_col: str | None = None,
+):
+    """Weighted K1×K2 contingency table of two aligned categorical columns
+    (define_sequence_data.py:1267-1293, np.add.at recast as one hash
+    aggregation). Output long-form: (v1, v2, weighted_count)."""
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    return (
+        df.filter(F.col(col1).isNotNull() & F.col(col2).isNotNull())
+        .groupBy(F.col(col1).alias("v1"), F.col(col2).alias("v2"))
+        .agg(F.sum(w).alias("weighted_count"))
+    )

@@ -37,11 +37,18 @@ def validate_transcripts(
     - observed states ⊆ declared alphabet (superset allowed, :421-440)
     - ts non-decreasing within each sequence (stable-ordering invariant)
     """
+    # NULL-key rows are their own violation class: countDistinct drops
+    # tuples containing NULL, so lumping them into dup_keys would misreport
+    # a NULL turn_idx as a duplicate (round-1 advisor finding).
+    null_key = (F.col(seq_col).isNull() | F.col(order_col).isNull()).cast("long")
     base = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct(seq_col).alias("n_seqs"),
+        F.sum(null_key).alias("null_keys"),
         (
-            F.count(F.lit(1)) - F.countDistinct(seq_col, order_col)
+            F.count(F.lit(1))
+            - F.sum(null_key)
+            - F.countDistinct(seq_col, order_col)
         ).alias("dup_keys"),
         F.sum(
             (
@@ -61,6 +68,7 @@ def validate_transcripts(
     report = {
         "n_rows": base["n_rows"],
         "n_seqs": base["n_seqs"],
+        "null_keys": base["null_keys"] or 0,
         "dup_keys": base["dup_keys"],
         "out_of_alphabet": base["out_of_alphabet"] or 0,
         "ts_nonmonotonic": nonmono,
@@ -69,7 +77,8 @@ def validate_transcripts(
         bad = {
             k: v
             for k, v in report.items()
-            if k in ("dup_keys", "out_of_alphabet", "ts_nonmonotonic") and v
+            if k in ("null_keys", "dup_keys", "out_of_alphabet", "ts_nonmonotonic")
+            and v
         }
         if bad:
             raise ValidationError(f"transcript validation failed: {bad}")

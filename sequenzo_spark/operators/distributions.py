@@ -105,6 +105,49 @@ def cross_sectional_entropy(
     return ent.withColumn("effective_states", F.exp(F.col("entropy")))
 
 
+def js_divergence_consecutive(
+    dist: DataFrame, bucket_col: str = "time_bucket"
+) -> DataFrame:
+    """Jensen-Shannon DISTANCE between consecutive buckets' state
+    distributions — compute_js_divergence semantics
+    (prefix_tree/system_level_indicators.py:154-184, scipy.jensenshannon:
+    sqrt of the base-e divergence; first bucket emits 0.0).
+
+    Input is :func:`cross_sectional_distribution` output. The per-bucket
+    distribution is packed into a sorted state→freq map (one row per bucket),
+    lag-shifted over the bucket order, and the divergence folded as an
+    expression over the sorted union of state keys — deterministic fold
+    order, zero UDFs. The un-partitioned lag window is safe: its input
+    cardinality is the number of TIME BUCKETS (one row each), not data rows,
+    so even 100 TB of raw data feeds it only hours/days worth of rows."""
+    per = dist.groupBy(F.col(bucket_col).alias("time_bucket")).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("state", "freq")))
+        ).alias("_p")
+    )
+    w = Window.orderBy("time_bucket")
+    per = per.withColumn("_q", F.lag("_p").over(w))
+    keys = F.array_sort(
+        F.array_union(
+            F.map_keys("_p"), F.map_keys(F.coalesce(F.col("_q"), F.col("_p")))
+        )
+    )
+
+    def _term(acc, k):
+        pv = F.coalesce(F.element_at(F.col("_p"), k), F.lit(0.0))
+        qv = F.coalesce(F.element_at(F.col("_q"), k), F.lit(0.0))
+        m = (pv + qv) / 2
+        tp = F.when(pv > 0, pv * F.log(pv / m)).otherwise(F.lit(0.0))
+        tq = F.when(qv > 0, qv * F.log(qv / m)).otherwise(F.lit(0.0))
+        return acc + 0.5 * tp + 0.5 * tq
+
+    div = F.aggregate(keys, F.lit(0.0), _term)
+    jsd = F.when(F.col("_q").isNull(), F.lit(0.0)).otherwise(
+        F.sqrt(F.greatest(div, F.lit(0.0)))
+    )
+    return per.select("time_bucket", jsd.alias("jsd"))
+
+
 def modal_state(dist: DataFrame) -> DataFrame:
     """Per bucket: the modal (argmax-frequency) state and its share —
     seqmodst semantics (:171-177). Ties broken by state name ascending so the

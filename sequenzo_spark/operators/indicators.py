@@ -113,6 +113,150 @@ def sequence_indicators(
     return out
 
 
+def mean_time_in_states(
+    df: DataFrame,
+    seq_col: str = "seq_id",
+    state_col: str = "state",
+    weight_col: str | None = None,
+    serr: bool = False,
+) -> DataFrame:
+    """seqmeant: weighted mean time per state across all sequences, with
+    optional Var/Stdev/SE under the finite-population correction
+    (cross_sectional_indicators.py:25-102; serr block :90-100).
+
+    Sequences that never visit a state count as 0 time in it, so the moment
+    algebra expands around the zero contributions instead of materializing
+    them: Σw(c−m)² = Σw·c² − 2m·Σw·c + m²·wtot. Two hash aggregations, no
+    per-seq pivot, no zero-row explosion — the 100 TB shape.
+    """
+    valid = df.filter(F.col(state_col).isNotNull())
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    # per-(seq,state) time c and the sequence weight (weights are per-seq)
+    per = valid.groupBy(seq_col, state_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_c"),
+        F.first(w).alias("_w"),
+    )
+    # scalar weight totals over ALL sequences (incl. zero-time ones)
+    seqw = valid.groupBy(seq_col).agg(F.first(w).alias("_w"))
+    tot = seqw.agg(
+        F.sum("_w").alias("_wtot"), F.sum(F.col("_w") * F.col("_w")).alias("_w2tot")
+    )
+    g = per.groupBy(F.col(state_col).alias("state")).agg(
+        F.sum(F.col("_w") * F.col("_c")).alias("_swc"),
+        F.sum(F.col("_w") * F.col("_c") * F.col("_c")).alias("_swc2"),
+    )
+    g = g.crossJoin(F.broadcast(tot))
+    mean = F.col("_swc") / F.col("_wtot")
+    out = g.select("state", mean.alias("mean_time"), "_swc", "_swc2", "_wtot", "_w2tot")
+    if serr:
+        m = F.col("mean_time")
+        ssq = F.col("_swc2") - 2 * m * F.col("_swc") + m * m * F.col("_wtot")
+        var = ssq * F.col("_wtot") / (F.col("_wtot") * F.col("_wtot") - F.col("_w2tot"))
+        out = (
+            out.withColumn("var_time", var)
+            .withColumn("sd_time", F.sqrt(var))
+            .withColumn("se_time", F.sqrt(var / F.col("_wtot")))
+        )
+    return out.drop("_swc", "_swc2", "_wtot", "_w2tot")
+
+
+def entropy_difference(
+    df: DataFrame,
+    norm: bool = True,
+    seq_col: str = "seq_id",
+    order_col: str = "pos",
+    state_col: str = "state",
+) -> DataFrame:
+    """seqientdiff: Shannon entropy of each sequence's spell-duration vector
+    (entropy_difference.py:25-103). ``norm`` divides by the all-1-spell
+    maximum entmax = −L·(1/L)·ln(1/L) = ln(L), applied only when ent > 0
+    (:80-86). Output: seq_id, hdss."""
+    spells = spell_table(df, seq_col, order_col, state_col)
+    wlen = Window.partitionBy(seq_col)
+    p = F.col("duration") / F.sum("duration").over(wlen)
+    per = (
+        spells.withColumn("_p", p)
+        .groupBy(F.col(seq_col).alias("seq_id"))
+        .agg(
+            (-F.sum(F.col("_p") * F.log("_p"))).alias("_ent"),
+            F.sum("duration").alias("_len"),
+        )
+    )
+    if norm:
+        hdss = F.when(
+            F.col("_ent") > 0, F.col("_ent") / F.log(F.col("_len").cast("double"))
+        ).otherwise(F.lit(0.0))
+    else:
+        hdss = F.col("_ent")
+    return per.select("seq_id", hdss.alias("hdss"))
+
+
+def spell_duration_variance(
+    df: DataFrame,
+    n_states: int,
+    var_type: int = 1,
+    seq_col: str = "seq_id",
+    order_col: str = "pos",
+    state_col: str = "state",
+) -> DataFrame:
+    """seqivardur: per-sequence population variance of spell durations
+    (variance_of_spell_durations.py).
+
+    type 1 (:45-48): variance over observed spells; var_max =
+    (dlgth−1)(1−meand)².
+    type 2 (:50-72): non-visited alphabet states count as 0-duration spells —
+    meand = L/(dlgth+nnvisit); var = (Σ(d−m)² + nnvisit·m²)/(dlgth+nnvisit);
+    var_max via maxnnv = K−1 if dlgth==1 else K−2 (0 when K<2) and
+    meand_max = m·(dlgth+nnvisit)/(dlgth+maxnnv).
+
+    All moments derive from exact integer sums (Σd, Σd², counts) with a fixed
+    expression order so a SQL oracle lands on the bit-identical double.
+    Output: seq_id, n_spells, meand, var_spell_dur, var_max.
+    """
+    if var_type not in (1, 2):
+        raise ValueError("var_type must be 1 or 2")
+    spells = spell_table(df, seq_col, order_col, state_col)
+    g = spells.groupBy(F.col(seq_col).alias("seq_id")).agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.sum("duration").alias("_len"),
+        F.sum(F.col("duration") * F.col("duration")).alias("_sq"),
+        F.countDistinct("state").alias("_visited"),
+    )
+    dlgth = F.col("n_spells").cast("double")
+    lgth = F.col("_len").cast("double")
+    sq = F.col("_sq").cast("double")
+    if var_type == 1:
+        meand = lgth / dlgth
+        var = sq / dlgth - meand * meand
+        var_max = (dlgth - 1) * (F.lit(1.0) - meand) * (F.lit(1.0) - meand)
+    else:
+        k = float(n_states)
+        nnv = F.lit(k) - F.col("_visited").cast("double")
+        denom = dlgth + nnv
+        meand = lgth / denom
+        ssq = sq - 2 * meand * lgth + dlgth * meand * meand
+        var = (ssq + nnv * meand * meand) / denom
+        if n_states < 2:
+            maxnnv = F.lit(0.0)
+        else:
+            maxnnv = F.when(F.col("n_spells") == 1, F.lit(k - 1)).otherwise(
+                F.lit(k - 2)
+            )
+        meand_max = meand * denom / (dlgth + maxnnv)
+        var_max = (
+            (dlgth - 1) * (F.lit(1.0) - meand_max) * (F.lit(1.0) - meand_max)
+            + (lgth - dlgth + 1 - meand_max) * (lgth - dlgth + 1 - meand_max)
+            + maxnnv * meand_max * meand_max
+        ) / (dlgth + maxnnv)
+    return g.select(
+        "seq_id",
+        "n_spells",
+        meand.alias("meand"),
+        var.alias("var_spell_dur"),
+        var_max.alias("var_max"),
+    )
+
+
 def integration_index(
     df: DataFrame,
     target_state: str,
@@ -164,20 +308,73 @@ def _phi_subsequences(states: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def stat_summary(df: DataFrame, value_col: str) -> DataFrame:
+    """count/mean/median/min/q1/q3/max of a per-sequence stat column —
+    get_sequence_length_summary / get_transition_count_summary semantics
+    (statistics/sequence_statistics.py:85-124; numpy linear-interpolation
+    quantiles → Spark's EXACT ``percentile``, not percentile_approx).
+
+    Scale note: this is one global aggregate over ONE ROW PER SEQUENCE (not
+    per turn); exact percentile over 10⁹ sequence rows is a single sort-based
+    agg — acceptable for a summary; swap percentile_approx in if even that
+    is too hot."""
+    v = F.col(value_col).cast("double")
+    return df.agg(
+        F.count(v).alias("count"),
+        F.avg(v).alias("mean"),
+        F.percentile(v, F.lit(0.5)).alias("median"),
+        F.min(v).alias("min"),
+        F.percentile(v, F.lit(0.25)).alias("q1"),
+        F.percentile(v, F.lit(0.75)).alias("q3"),
+        F.max(v).alias("max"),
+    )
+
+
+def _phi_dp(seq: list) -> float:
+    """Driver-side copy of the subsequence-count DP (same recurrence as
+    _phi_subsequences) for the single synthetic max sequence used by
+    turbulence norm — O(len), one sequence, no reason to ship to a worker."""
+    last: dict = {}
+    phi = 1.0
+    for s in seq:
+        prev = phi
+        phi = 2.0 * phi - last.get(s, 0.0)
+        if phi > 1e15:
+            phi = 1e15
+        last[s] = prev
+    return phi
+
+
 def turbulence(
     df: DataFrame,
     seq_col: str = "seq_id",
     order_col: str = "pos",
     state_col: str = "state",
+    var_type: int = 1,
+    norm: bool = False,
+    states: list | None = None,
 ) -> DataFrame:
     """Per-sequence turbulence T = log2(φ · (s²max+1)/(s²+1)),
-    s²max = (n−1)(1−t̄)² (turbulence.py:22-28).
+    s² / s²max from seqivardur ``var_type`` 1 or 2 (turbulence.py:22-28, :73-76;
+    variance_of_spell_durations.py:45-72).
 
     Spell stats are plain aggregates; only φ needs the pandas-UDF DP, fed by
     an ordered ``collect_list`` of spell states (sorted by spell_id inside the
-    array for determinism, never relying on shuffle order)."""
+    array for determinism, never relying on shuffle order).
+
+    ``norm=True`` (turbulence.py:94-145): normalize by the turbulence maxT of
+    the synthetic max-turbulence sequence — the alphabet cycled to the
+    longest observed length. maxT is ONE scalar: its φ is the same DP run
+    driver-side and its spell variance is closed-form (all spells length 1),
+    so normalization costs one tiny aggregate, not a second engine pass.
+    T_norm = (T−1)/(maxT−1), clamped to 0 where T < 1 (:141-143).
+    ``norm`` requires ``states`` (the declared alphabet)."""
     from sequenzo_spark import ensure_workers_can_import
 
+    if var_type not in (1, 2):
+        raise ValueError("var_type must be 1 or 2")
+    if norm and not states:
+        raise ValueError("norm=True requires the declared alphabet `states`")
     ensure_workers_can_import(df.sparkSession)
     spells = spell_table(df, seq_col, order_col, state_col)
     per = spells.groupBy(F.col(seq_col).alias("seq_id")).agg(
@@ -185,16 +382,70 @@ def turbulence(
             F.collect_list(F.struct("spell_id", "state"))
         ).alias("_sp"),
         F.count(F.lit(1)).alias("n_spells"),
-        F.avg("duration").alias("_mean_dur"),
-        F.coalesce(F.var_pop("duration"), F.lit(0.0)).alias("_var_dur"),
+        F.sum("duration").alias("_len"),
+        F.sum(F.col("duration") * F.col("duration")).alias("_sq"),
+        F.countDistinct("state").alias("_visited"),
     )
-    dss_states = F.transform(F.col("_sp"), lambda s: s["state"])
-    s2max = (F.col("n_spells") - 1) * F.pow(F.lit(1.0) - F.col("_mean_dur"), 2)
-    return (
-        per.withColumn("phi", _phi_subsequences(dss_states))
-        .withColumn(
-            "turbulence",
-            F.log2(F.col("phi") * (s2max + 1.0) / (F.col("_var_dur") + 1.0)),
+    dlgth = F.col("n_spells").cast("double")
+    lgth = F.col("_len").cast("double")
+    sq = F.col("_sq").cast("double")
+    if var_type == 1:
+        meand = lgth / dlgth
+        s2 = sq / dlgth - meand * meand
+        s2max = (dlgth - 1) * (F.lit(1.0) - meand) * (F.lit(1.0) - meand)
+    else:
+        k = float(len(states)) if states else None
+        if k is None:
+            raise ValueError("var_type=2 requires the declared alphabet `states`")
+        nnv = F.lit(k) - F.col("_visited").cast("double")
+        denom = dlgth + nnv
+        meand = lgth / denom
+        ssq = sq - 2 * meand * lgth + dlgth * meand * meand
+        s2 = (ssq + nnv * meand * meand) / denom
+        maxnnv = (
+            F.lit(0.0)
+            if k < 2
+            else F.when(F.col("n_spells") == 1, F.lit(k - 1)).otherwise(F.lit(k - 2))
         )
-        .select("seq_id", "n_spells", "phi", "turbulence")
+        meand_max = meand * denom / (dlgth + maxnnv)
+        s2max = (
+            (dlgth - 1) * (F.lit(1.0) - meand_max) * (F.lit(1.0) - meand_max)
+            + (lgth - dlgth + 1 - meand_max) * (lgth - dlgth + 1 - meand_max)
+            + maxnnv * meand_max * meand_max
+        ) / (dlgth + maxnnv)
+    dss_states = F.transform(F.col("_sp"), lambda s: s["state"])
+    out = per.withColumn("phi", _phi_subsequences(dss_states)).withColumn(
+        "turbulence",
+        F.log2(F.col("phi") * (s2max + 1.0) / (s2 + 1.0)),
     )
+    if norm:
+        maxlength = out.agg(F.max("_len")).first()[0] or 1
+        k = len(states)
+        nrep = -(-int(maxlength) // k)
+        synth = (list(states) * nrep)[: int(maxlength)]
+        phi_max = _phi_dp(synth)
+        # synthetic sequence: every spell has duration 1 → L = dlgth = maxlen.
+        n = float(len(synth))
+        visited = float(len(set(synth)))
+        if var_type == 1:
+            s2_s = 0.0
+            s2max_s = 0.0  # (n−1)(1−1)²
+        else:
+            nnv_s = k - visited
+            meand_s = n / (n + nnv_s)
+            s2_s = (n * (1 - meand_s) ** 2 + nnv_s * meand_s**2) / (n + nnv_s)
+            maxnnv_s = 0.0 if k < 2 else (k - 1.0 if n == 1 else k - 2.0)
+            meand_max_s = meand_s * (n + nnv_s) / (n + maxnnv_s)
+            s2max_s = (
+                (n - 1) * (1 - meand_max_s) ** 2
+                + (n - n + 1 - meand_max_s) ** 2
+                + maxnnv_s * meand_max_s**2
+            ) / (n + maxnnv_s)
+        max_t = math.log2(phi_max * (s2max_s + 1.0) / (s2_s + 1.0))
+        out = out.withColumn(
+            "turbulence",
+            F.when(F.col("turbulence") < 1, F.lit(0.0)).otherwise(
+                (F.col("turbulence") - 1.0) / F.lit(max_t - 1.0)
+            ),
+        )
+    return out.select("seq_id", "n_spells", "phi", "turbulence")

@@ -28,12 +28,20 @@ def tokens_col(text_col: str = "text") -> F.Column:
 
 def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
     """Distinct word n-gram shingles as an array column (whole-stage
-    codegen: sequence + transform + slice, no UDF)."""
+    codegen: sequence + transform + slice, no UDF).
+
+    Docs with fewer than n tokens yield an EMPTY array: without the guard,
+    F.sequence(1, size-(n-1)) would produce a descending sequence (Spark
+    defaults step to -1 when start > stop) and F.slice would throw on the
+    non-positive start index."""
     toks = tokens_col(text_col)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -49,14 +57,18 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact near-dup pairs with word-n-gram Jaccard ≥ threshold.
 
     One explode + one self-equijoin on shingle + one pair aggregation.
     ``max_shingle_df`` drops shingles appearing in more than that many docs
-    (stop-shingle skew cap for web scale; exactness then holds for pairs
-    whose similarity survives on rarer shingles)."""
+    from the JOIN (stop-shingle skew cap: a shingle in d docs contributes d²
+    join rows, so an uncapped stop-shingle is a cartesian bomb at web scale).
+    Denominators keep the full shingle-set sizes, so capped Jaccard is a
+    lower bound of true Jaccard; pairs whose similarity lives on rare
+    shingles are still found exactly. Default 10k: inert at test scale,
+    bounds any single shingle's join fan-out to 10⁸ rows at 100 TB."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -132,10 +144,15 @@ def minhash_lsh_candidates(
     (≈0.99 at j=0.8). The band join is the scale path: shuffle keyed by
     (band, bucket_hash), never O(n²)."""
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, n, text_col, id_col)
+    # Persist signatures: referenced three times below (band join on ids,
+    # then one re-attach per pair side). At cluster scale this is the
+    # materialized signature table.
+    sig = minhash_signatures(docs, n_hashes, n, text_col, id_col).persist()
+    # Band join carries ONLY (doc_id, band, bucket) through the shuffle —
+    # never the 64-long signatures (signature payload on both sides of a
+    # skewed self-join was the round-1 perf finding).
     bucketed = sig.select(
         "doc_id",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -155,9 +172,9 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -165,12 +182,17 @@ def minhash_lsh_candidates(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.signature").alias("s1"),
-            F.col("b.signature").alias("s2"),
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
         )
-        .dropDuplicates(["d1", "d2"])
+        .distinct()
+    )
+    # Re-attach one signature per side AFTER dedup of candidate ids.
+    cand = cand_ids.join(
+        sig.select(F.col("doc_id").alias("d1"), F.col("signature").alias("s1")),
+        "d1",
+    ).join(
+        sig.select(F.col("doc_id").alias("d2"), F.col("signature").alias("s2")),
+        "d2",
     )
     # estimated Jaccard = fraction of matching signature positions
     est = (

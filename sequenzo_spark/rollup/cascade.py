@@ -94,7 +94,11 @@ def _list_part_dates(path: str) -> list[str]:
 
 
 def _write_and_measure(
-    spark: SparkSession, df: DataFrame, path: str, checksums: bool = True
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    checksums: bool = True,
+    read_filter=None,
 ) -> list[tuple[str, int, int | None]]:
     """Write partitioned parquet + collect per-(cb,date) (key, rows, checksum).
 
@@ -115,12 +119,14 @@ def _write_and_measure(
         df.repartition(*[F.col(c) for c in PART_COLS]).write.mode(
             "overwrite"
         ).partitionBy(*PART_COLS).parquet(path)
-        agg = (
-            spark.read.parquet(path)
-            .groupBy(*PART_COLS)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        # read_filter restricts the footer-count read-back to THIS batch's
+        # partitions (partition pruning on the dir layout): without it each
+        # batch re-scans every footer written so far — O(batches²) metadata
+        # reads — and re-commits manifest rows for earlier batches.
+        rb = spark.read.parquet(path)
+        if read_filter is not None:
+            rb = rb.filter(read_filter)
+        agg = rb.groupBy(*PART_COLS).agg(F.count(F.lit(1)).alias("n")).collect()
         return [
             (f"{r['conv_bucket']}/{r['part_date']}", r["n"], None) for r in agg
         ]
@@ -208,6 +214,7 @@ def run_cascade(
         src: DataFrame,
         batch_size: int | None,
         checksums: bool = True,
+        read_filter_of=None,  # (batch) -> Column pruning the read-back
     ):
         # manifest rows are per fine (conv_bucket/part_date) partition; a
         # batch key is done iff any of its fine keys committed (they commit
@@ -242,7 +249,13 @@ def run_cascade(
                     else f"{out_root}/{stage}"
                 )
                 return tname, _write_and_measure(
-                    spark, tdf, path, checksums=checksums
+                    spark,
+                    tdf,
+                    path,
+                    checksums=checksums,
+                    read_filter=(
+                        read_filter_of(batch) if read_filter_of else None
+                    ),
                 )
 
             # the stage's tables are independent → submit their write jobs
@@ -303,6 +316,9 @@ def run_cascade(
         enc_src,
         batch_dates,
         checksums=False,  # bulk passthrough: footer counts only (see above)
+        read_filter_of=lambda b: F.col("part_date")
+        .cast("string")
+        .isin([str(x) for x in b]),
     )
 
     # ---- stage: rollup_1m — batched by conv_bucket (full conv context) ---

@@ -45,11 +45,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(name, spark, duck):
-    got = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
-    want = _normalize(duck.execute(ORACLE_SQL[name]).df())
+    got_raw = QUERIES[name](spark, SF_DIR).toPandas()
+    want_raw = duck.execute(ORACLE_SQL[name]).df()
+    got, want = _normalize(got_raw), _normalize(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
+    # dtype KIND must agree pre-normalization: the driver's value hash
+    # distinguishes int 150 from float 150.0 (the round-1 spell_stats red
+    # cell was exactly a DuckDB HUGEINT→float64 vs Spark int64 mismatch that
+    # dtype-coercing comparison masked).
+    for c in got.columns:
+        gk = got_raw[sorted(got_raw.columns)][c].dtype.kind
+        wk = want_raw[sorted(want_raw.columns)][c].dtype.kind
+        gk = "i" if gk in "iu" else gk
+        wk = "i" if wk in "iu" else wk
+        assert gk == wk, f"{name}.{c}: dtype kind {gk} != oracle {wk}"
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
 
@@ -59,6 +70,7 @@ def test_all_queries_have_oracle_or_reason():
     # documented rows-only checks (non-SQL-expressible / probabilistic)
     assert missing <= {
         "turbulence",           # subsequence-count DP
+        "turbulence_norm",      # subsequence-count DP (normalized)
         "minhash_lsh_candidates",  # engine-specific hash + probabilistic
         "simhash",              # engine-specific hash
         "lsh_cosine_topk",      # approximate ANN

@@ -1,0 +1,148 @@
+"""Round-2 indicator operators vs hand-computed reference values.
+
+Fixture seqs: s1 = A-A-B-B (DSS [A,B], dur [2,2]), s2 = A-B-B-A
+(DSS [A,B,A], dur [1,2,1]), s3 = A-A-A-A (DSS [A], dur [4]).
+All expectations derived by hand from the reference formulas
+(cross_sectional_indicators.py, entropy_difference.py,
+variance_of_spell_durations.py, turbulence.py, integration_index.py).
+"""
+
+import math
+
+import pytest
+
+from sequenzo_spark.operators.distributions import (
+    cross_sectional_distribution,
+    js_divergence_consecutive,
+)
+from sequenzo_spark.operators.indicators import (
+    entropy_difference,
+    integration_index,
+    mean_time_in_states,
+    spell_duration_variance,
+    stat_summary,
+    turbulence,
+)
+
+
+@pytest.fixture(scope="module")
+def toy3(spark):
+    rows = [
+        ("s1", 0, "A"), ("s1", 1, "A"), ("s1", 2, "B"), ("s1", 3, "B"),
+        ("s2", 0, "A"), ("s2", 1, "B"), ("s2", 2, "B"), ("s2", 3, "A"),
+        ("s3", 0, "A"), ("s3", 1, "A"), ("s3", 2, "A"), ("s3", 3, "A"),
+    ]
+    return spark.createDataFrame(rows, "seq_id string, pos int, state string")
+
+
+def test_mean_time_in_states(toy3):
+    # c_A = [2,2,4], c_B = [2,2,0], n = 3
+    got = {r["state"]: r for r in mean_time_in_states(toy3, serr=True).collect()}
+    assert got["A"]["mean_time"] == pytest.approx(8 / 3)
+    assert got["B"]["mean_time"] == pytest.approx(4 / 3)
+    # var = Σ(c−m)²/(n−1) = 4/3 for both states
+    for s in ("A", "B"):
+        assert got[s]["var_time"] == pytest.approx(4 / 3)
+        assert got[s]["sd_time"] == pytest.approx(math.sqrt(4 / 3))
+        assert got[s]["se_time"] == pytest.approx(math.sqrt(4 / 9))
+
+
+def test_entropy_difference(toy3):
+    got = {r["seq_id"]: r["hdss"] for r in entropy_difference(toy3).collect()}
+    # s1: dur [2,2], ent=ln2, entmax=ln4 → 0.5
+    assert got["s1"] == pytest.approx(0.5)
+    # s2: dur [1,2,1], ent=1.5·ln2, /ln4 → 0.75
+    assert got["s2"] == pytest.approx(0.75)
+    # s3: single spell → ent 0 → 0
+    assert got["s3"] == 0.0
+
+
+def test_spell_duration_variance_type1(toy3):
+    got = {
+        r["seq_id"]: r
+        for r in spell_duration_variance(toy3, n_states=2, var_type=1).collect()
+    }
+    assert got["s2"]["meand"] == pytest.approx(4 / 3)
+    assert got["s2"]["var_spell_dur"] == pytest.approx(2 / 9)
+    assert got["s2"]["var_max"] == pytest.approx(2 / 9)
+    assert got["s1"]["var_spell_dur"] == pytest.approx(0.0)
+    assert got["s1"]["var_max"] == pytest.approx(1.0)  # (2−1)(1−2)²
+
+
+def test_spell_duration_variance_type2(toy3):
+    got = {
+        r["seq_id"]: r
+        for r in spell_duration_variance(toy3, n_states=2, var_type=2).collect()
+    }
+    # s1: visited 2 → nnv 0 → same mean as type1 path; var 0; maxnnv=0,
+    # meand_max=2, var_max = ((1)(1−2)² + (4−2+1−2)²)/2 = 1
+    assert got["s1"]["meand"] == pytest.approx(2.0)
+    assert got["s1"]["var_spell_dur"] == pytest.approx(0.0)
+    assert got["s1"]["var_max"] == pytest.approx(1.0)
+    # s3: dlgth 1, visited 1, nnv 1 → meand 2, var (4+4)/2=4;
+    # maxnnv=1, meand_max=2, var_max = (0 + (4−1+1−2)² + 1·4)/2 = 4
+    assert got["s3"]["meand"] == pytest.approx(2.0)
+    assert got["s3"]["var_spell_dur"] == pytest.approx(4.0)
+    assert got["s3"]["var_max"] == pytest.approx(4.0)
+
+
+def test_turbulence_norm_type1(spark):
+    rows = [
+        ("s1", 0, "A"), ("s1", 1, "A"), ("s1", 2, "B"), ("s1", 3, "B"),
+        ("s2", 0, "A"), ("s2", 1, "B"), ("s2", 2, "B"), ("s2", 3, "A"),
+    ]
+    df = spark.createDataFrame(rows, "seq_id string, pos int, state string")
+    got = {
+        r["seq_id"]: r
+        for r in turbulence(df, var_type=1, norm=True, states=["A", "B"]).collect()
+    }
+    # raw: s1 → log2(4·(1+1)/(0+1)) = 3; s2 → log2 7
+    # synthetic ABAB: φ=12, s2=s2max=0 → maxT = log2 12
+    max_t = math.log2(12)
+    assert got["s1"]["turbulence"] == pytest.approx((3 - 1) / (max_t - 1))
+    assert got["s2"]["turbulence"] == pytest.approx(
+        (math.log2(7) - 1) / (max_t - 1)
+    )
+
+
+def test_turbulence_type2_runs(toy3):
+    got = turbulence(toy3, var_type=2, norm=True, states=["A", "B"]).collect()
+    assert len(got) == 3
+    for r in got:
+        assert 0.0 <= r["turbulence"] <= 1.0 + 1e-12
+
+
+def test_integration_index(toy3):
+    got = {
+        r["seq_id"]: r["integration"]
+        for r in integration_index(toy3, target_state="B").collect()
+    }
+    assert got["s1"] == pytest.approx(0.7)  # (3+4)/10
+    assert got["s2"] == pytest.approx(0.5)  # (2+3)/10
+    assert got["s3"] == pytest.approx(0.0)
+
+
+def test_stat_summary(spark):
+    df = spark.createDataFrame([(1,), (2,)], "transitions int")
+    r = stat_summary(df, "transitions").first()
+    assert r["count"] == 2
+    assert r["mean"] == pytest.approx(1.5)
+    assert r["median"] == pytest.approx(1.5)
+    assert r["q1"] == pytest.approx(1.25)
+    assert r["q3"] == pytest.approx(1.75)
+    assert (r["min"], r["max"]) == (1.0, 2.0)
+
+
+def test_js_divergence_consecutive(spark):
+    rows = [
+        (1, "A"), (1, "B"),     # bucket 1: A 0.5, B 0.5
+        (2, "A"), (2, "A"),     # bucket 2: A 1.0
+    ]
+    df = spark.createDataFrame(rows, "time_bucket int, state string")
+    dist = cross_sectional_distribution(df, "time_bucket", "state")
+    got = {r["time_bucket"]: r["jsd"] for r in js_divergence_consecutive(dist).collect()}
+    assert got[1] == 0.0
+    div = 0.5 * (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)) + 0.5 * (
+        1.0 * math.log(1.0 / 0.75)
+    )
+    assert got[2] == pytest.approx(math.sqrt(div))

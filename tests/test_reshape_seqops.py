@@ -1,0 +1,77 @@
+"""wide↔long reshape, person-period expansion, cut_prefix, seqfind, xtabs —
+round-2 operators, toy fixtures mirroring the reference's test style
+(tests/statistics/test_statistics_user_friendly_api.py:19-76)."""
+
+from pyspark.sql import functions as F
+
+from sequenzo_spark.functions.reshape import long_to_wide, person_period, wide_to_long
+from sequenzo_spark.functions.seqops import (
+    cut_prefix,
+    find_sequence_occurrences,
+    get_xtabs,
+)
+
+
+def test_wide_to_long_and_back(spark):
+    wide = spark.createDataFrame(
+        [(1, "A", "A", "B"), (2, "B", None, "A")],
+        "id int, t1 string, t2 string, t3 string",
+    )
+    long = wide_to_long(wide, "id", ["t1", "t2", "t3"])
+    rows = {(r["id"], r["time"]): r["state"] for r in long.collect()}
+    assert rows[(1, "t1")] == "A" and rows[(2, "t2")] is None
+    assert long.count() == 6
+
+    back = long_to_wide(long, "id", "time", "state", time_values=["t1", "t2", "t3"])
+    assert set(back.columns) == {"id", "state_t1", "state_t2", "state_t3"}
+    r2 = {r["id"]: r for r in back.collect()}
+    assert r2[1]["state_t3"] == "B" and r2[2]["state_t2"] is None
+
+
+def test_person_period_reference_toy(spark):
+    # reference docstring example (sequence_history_analysis.py:46-53)
+    df = spark.createDataFrame([(1, 3, True), (2, 2, False)], "id int, time int, event boolean")
+    out = person_period(df).orderBy("id", "time").collect()
+    assert [(r["id"], r["time"], r["event"]) for r in out] == [
+        (1, 1, False), (1, 2, False), (1, 3, True),
+        (2, 1, False), (2, 2, False),
+    ]
+
+
+def test_person_period_rejects_bad(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 0, True)], "id int, time int, event boolean")
+    with pytest.raises(ValueError):
+        person_period(df)
+
+
+def test_cut_prefix(spark):
+    df = spark.createDataFrame([([2, 2, 0, -1],), ([3, 1],)], "arr array<int>")
+    got = df.select(cut_prefix(F.col("arr"), 1).alias("c")).collect()
+    assert got[0]["c"] == [2, 2]
+    assert got[1]["c"] == [3, 1]
+
+
+def test_find_sequence_occurrences(spark, toy):
+    # haystack: toy (s1=AABB, s2=ABBA) + s3 duplicating s1's pattern
+    extra = spark.createDataFrame(
+        [("s3", 0, "A"), ("s3", 1, "A"), ("s3", 2, "B"), ("s3", 3, "B")],
+        "seq_id string, pos int, state string",
+    )
+    hay = toy.unionByName(extra)
+    needles = toy.filter(F.col("seq_id") == "s1")
+    got = {
+        (r["needle_id"], r["match_id"])
+        for r in find_sequence_occurrences(needles, hay).collect()
+    }
+    assert got == {("s1", "s1"), ("s1", "s3")}
+
+
+def test_get_xtabs(toy):
+    got = {
+        (r["v1"], r["v2"]): r["weighted_count"]
+        for r in get_xtabs(toy, "state", "seq_id").collect()
+    }
+    assert got[("A", "s1")] == 2.0
+    assert got[("B", "s2")] == 2.0
