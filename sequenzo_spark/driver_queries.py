@@ -530,6 +530,22 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine", R).alias("cosine"))
 
 
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-5 neighbors for 8 query vectors at once via the
+    (table, bucket) equi-join — approximate, rows-only driver check;
+    recall vs brute force asserted in unit tests."""
+    from sequenzo_spark.pipeline.similarity import lsh_cosine_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = lsh_cosine_topk_batch(emb, queries, k=5)
+    return top.select(
+        "query_id", "vec_id", F.round("cosine", R).alias("cosine"), "rank"
+    )
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -564,6 +580,7 @@ QUERIES = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "simhash": q_simhash,
     "lsh_cosine_topk": q_lsh_cosine_topk,
+    "ann_batch_topk": q_ann_batch_topk,
 }
 
 # ------------------------------------------------------------- oracle SQL

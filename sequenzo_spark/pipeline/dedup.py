@@ -26,6 +26,20 @@ def tokens_col(text_col: str = "text") -> F.Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Match input partitioning to the cluster's parallelism before the
+    CPU-heavy tokenize/shingle/hash expressions.
+
+    A small corpus arrives as one scan partition (one parquet file locally),
+    which would run the whole expression pipeline on ONE core; at 100 TB the
+    scan already yields thousands of partitions and this is a no-op. Uses
+    round-robin repartition — no key needed, rows are independent."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
     """Distinct word n-gram shingles as an array column (whole-stage
     codegen: sequence + transform + slice, no UDF).
@@ -69,6 +83,7 @@ def ngram_jaccard_pairs(
     lower bound of true Jaccard; pairs whose similarity lives on rare
     shingles are still found exactly. Default 10k: inert at test scale,
     bounds any single shingle's join fan-out to 10⁸ rows at 100 TB."""
+    docs = _spread(docs)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -115,6 +130,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """k MinHash values per doc: min over shingles of xxhash64(shingle, i).
     Pure expressions (k array_min/transform columns), deterministic."""
+    docs = _spread(docs)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -210,6 +226,7 @@ def simhash64(
     """64-bit SimHash of the token multiset: bit b of the fingerprint is the
     majority sign over tokens of bit b of xxhash64(token). Expressed as 64
     conditional-sum aggregates over exploded tokens — JVM-side."""
+    docs = _spread(docs)
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("t")
     ).withColumn("h", F.xxhash64("t"))

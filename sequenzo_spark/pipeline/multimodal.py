@@ -52,23 +52,93 @@ def attach_fake_media(
     return df.withColumn(f"{name}_bytes", payload).withColumn(f"{name}_meta", meta)
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 array as binary PPM (P6) — pure NumPy/bytes,
+    no image library. P6 spec: ASCII header 'P6\\n<w> <h>\\n<maxval>\\n'
+    followed by raw RGB bytes row-major."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_ppm expects HxWx3 uint8")
+    hgt, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, hgt) + img.tobytes()
+
+
 def decode_image(payload: bytes, meta: dict, fake: bool = False) -> np.ndarray:
     """Decode one image payload to an HxWx3 uint8 array.
 
-    STUB: real decoding needs an image library not present in this
-    container. ``fake=True`` yields a deterministic pseudo-decode (payload
-    bytes tiled to the metadata shape) so the distributed plumbing is
-    testable end-to-end."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library (e.g. Pillow); "
-            "not available in this environment — use fake=True for tests"
+    Real path: binary PPM (P6) is decoded with pure NumPy (header parse +
+    frombuffer) — no external image library needed. Compressed codecs
+    (PNG/JPEG/…) would need Pillow, absent in this container, and raise
+    NotImplementedError. ``fake=True`` keeps the deterministic pseudo-decode
+    (payload bytes tiled to the metadata shape) used by plumbing tests."""
+    if fake:
+        w, hgt = int(meta["width"]), int(meta["height"])
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        need = w * hgt * 3
+        tiled = np.resize(buf, need)
+        return tiled.reshape(hgt, w, 3)
+    payload = bytes(payload)
+    if payload[:2] == b"P6":
+        import re
+
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if not m:
+            raise ValueError("malformed PPM header")
+        w, hgt = int(m.group(1)), int(m.group(2))
+        arr = np.frombuffer(
+            payload, dtype=np.uint8, count=w * hgt * 3, offset=m.end()
         )
-    w, hgt = int(meta["width"]), int(meta["height"])
-    buf = np.frombuffer(payload, dtype=np.uint8)
-    need = w * hgt * 3
-    tiled = np.resize(buf, need)
-    return tiled.reshape(hgt, w, 3)
+        return arr.reshape(hgt, w, 3).copy()
+    raise NotImplementedError(
+        "only binary PPM (P6) decodes without an image library; "
+        "PNG/JPEG need Pillow, not available in this environment"
+    )
+
+
+def attach_ppm_media(
+    df: DataFrame,
+    id_col: str,
+    name: str = "image",
+    seed: int = 42,
+    max_side: int = 24,
+) -> DataFrame:
+    """Attach REAL image payloads: deterministic per-id pseudo-random pixels
+    encoded as binary PPM (P6) via ``encode_ppm``. mapInPandas so the bytes
+    are built worker-side in Arrow batches — the same distribution shape a
+    real ingest of image files would have."""
+    from sequenzo_spark import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    id_type = next(
+        f.dataType.simpleString() for f in df.schema if f.name == id_col
+    )
+    schema = f"{id_col} {id_type}, {name}_bytes binary, {name}_meta {MEDIA_META_DDL}"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for v in pdf[id_col]:
+                rng = np.random.default_rng((int(v) * 2654435761 + seed) % 2**63)
+                w = int(rng.integers(8, max_side + 1))
+                hgt = int(rng.integers(8, max_side + 1))
+                img = rng.integers(0, 256, size=(hgt, w, 3), dtype=np.uint8)
+                out.append(
+                    (
+                        v,
+                        encode_ppm(img),
+                        {
+                            "format": "image/x-portable-pixmap",
+                            "width": w,
+                            "height": hgt,
+                            "n_frames": 1,
+                            "sample_rate": None,
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, f"{name}_bytes", f"{name}_meta"]
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
 
 
 def extract_image_features(

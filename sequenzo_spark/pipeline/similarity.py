@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _dot(a, b) -> F.Column:
@@ -117,3 +117,83 @@ def lsh_cosine_topk(
         )
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def _bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables_planes: list[list[list[float]]],
+    out_id: str,
+) -> DataFrame:
+    """Explode each vector into one (id, table, bucket) row per LSH table —
+    ids only, embeddings never enter the bucket shuffle."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                signature_bits_col(vec_col, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables_planes)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.explode(arr).alias("tb")
+    ).select(out_id, "tb.table", "tb.bucket")
+
+
+def lsh_cosine_topk_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch ANN — the 100 TB shape: MANY query vectors at once via a
+    bucket EQUI-JOIN instead of one filter scan per query.
+
+    Plan: both sides explode to (id, table, bucket) rows (ids only — the
+    round-1 lesson: never shuffle vector payloads through a candidate join);
+    join on (table, bucket); distinct candidate id pairs; re-attach the two
+    embeddings; exact cosine; per-query top-k via row_number (partial top-k
+    per partition, no global sort). The query side is broadcast when small —
+    at web scale both sides are plain shuffles keyed by (table, bucket).
+
+    Output: query_id, vec_id, cosine, rank (1..k per query).
+    """
+    dim = len(queries.select(vec_col).first()[0])
+    tables_planes = [
+        [_hyperplane(dim, t * n_planes + i, seed) for i in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    vb = _bucket_rows(vectors, id_col, vec_col, tables_planes, "vec_id")
+    qb = _bucket_rows(queries, query_id_col, vec_col, tables_planes, "query_id")
+    cand = (
+        vb.join(F.broadcast(qb), ["table", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    cand = cand.join(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+        "vec_id",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_q")
+            )
+        ),
+        "query_id",
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_col(F.col("_v"), F.col("_q")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -74,4 +74,5 @@ def test_all_queries_have_oracle_or_reason():
         "minhash_lsh_candidates",  # engine-specific hash + probabilistic
         "simhash",              # engine-specific hash
         "lsh_cosine_topk",      # approximate ANN
+        "ann_batch_topk",       # approximate batch ANN
     }, missing

@@ -64,3 +64,47 @@ def test_frame_sample_plan(spark):
         (r.vid_id, r.frame_idx) for r in plan.select("vid_id", "frame_idx").collect()
     )
     assert got == sorted((v, f) for v in range(3) for f in (0, 10, 20))
+
+
+def test_ppm_roundtrip_and_real_decode(spark):
+    """Real (non-fake) decode path: synthesize binary PPM payloads, decode
+    them end-to-end through mapInPandas, and verify channel means against a
+    local decode of the same deterministic bytes."""
+    import numpy as np
+
+    from sequenzo_spark.pipeline.multimodal import (
+        attach_ppm_media,
+        decode_image,
+        encode_ppm,
+        extract_image_features,
+    )
+
+    # pure round-trip
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(img), {}) == img).all()
+
+    ids = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    media = attach_ppm_media(ids, "doc_id", seed=11)
+    feats = {
+        r["doc_id"]: r
+        for r in extract_image_features(
+            media, "doc_id", fake_decode=False
+        ).collect()
+    }
+    assert len(feats) == 20
+    # cross-check one row against a local regeneration of the same payload
+    rng = np.random.default_rng((3 * 2654435761 + 11) % 2**63)
+    w = int(rng.integers(8, 25)); hgt = int(rng.integers(8, 25))
+    expect = rng.integers(0, 256, size=(hgt, w, 3), dtype=np.uint8)
+    assert feats[3]["mean_r"] == float(expect[:, :, 0].mean())
+    assert feats[3]["mean_g"] == float(expect[:, :, 1].mean())
+
+
+def test_decode_image_unknown_codec_raises(spark):
+    import pytest
+
+    from sequenzo_spark.pipeline.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....", {})

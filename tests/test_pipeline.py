@@ -100,3 +100,26 @@ def test_short_docs_do_not_crash_shingles(spark):
     assert {(r.d1, r.d2) for r in cand} == {(4, 5)}
     # split(trim("")) yields one empty-string token, so all 5 docs fingerprint
     assert simhash64(docs).count() == 5
+
+
+def test_batch_ann_matches_single_query_lsh(spark, emb):
+    """Batch ANN (bucket equi-join over many queries) must return exactly the
+    single-query LSH result per query — same planes, same buckets, same
+    exact-cosine rerank — plus each query itself at rank 1."""
+    from sequenzo_spark.pipeline.similarity import lsh_cosine_topk_batch
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_cosine_topk_batch(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == qid and rows[0]["cosine"] > 0.999999
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        single = [r.vec_id for r in lsh_cosine_topk(emb, qvec, k=5).collect()]
+        assert [r["vec_id"] for r in rows] == single
