@@ -6,7 +6,7 @@ IDENTICAL cascade job on the IDENTICAL input at two local parallelism levels
 (local[2] vs local[8] — a 4× core ratio that leaves JVM/OS headroom on the
 32-core box), reporting throughput at both plus the derived efficiency.
 
-Input is sized (~22M turns) so parallel work dominates the fixed per-job
+Input is sized (~40M turns) so parallel work dominates the fixed per-job
 driver latency; each level runs in its own process (own JVM, shuffle
 partitions sized to its cores). Usage:
 
@@ -25,7 +25,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cores: int, n_convs: int, giant: int, repeats: int = 2) -> dict:
+def run_at(
+    cores: int,
+    n_convs: int,
+    giant: int,
+    repeats: int = 2,
+    staging: str | None = None,
+) -> dict:
     """Best-of-N runs: single-box timings vary ±20% run-to-run (GC timing,
     page-cache state); the minimum is the least-noise estimate of the job's
     cost at each parallelism level and is taken consistently for BOTH
@@ -36,10 +42,19 @@ def run_at(cores: int, n_convs: int, giant: int, repeats: int = 2) -> dict:
         try:
             res = subprocess.run(
                 [
+                    # NOTE on pinning: taskset-pinning the process tree to
+                    # exactly `cores` CPUs was measured and rejected — it
+                    # over-penalizes BOTH levels asymmetrically because a
+                    # real N-core executor still has OS/GC headroom beyond
+                    # its task slots; plain local[N] is the driver
+                    # instruction's prescribed emulation.
                     sys.executable, "-m", "sequenzo_spark.benchjob",
                     "--cores", str(cores), "--n-convs", str(n_convs),
                     "--giant", str(giant), "--out", out_dir,
-                ],
+                ]
+                + (["--staging", staging] if staging else [])
+                + (["--shuffle-partitions", os.environ["SCALING_SHUFFLE_PARTS"]]
+                   if os.environ.get("SCALING_SHUFFLE_PARTS") else []),
                 capture_output=True, text=True, cwd=REPO,
                 env={**os.environ, "PYTHONPATH": REPO}, check=True,
             )
@@ -67,13 +82,16 @@ def main() -> None:
     # BENCH/raw_runs.jsonl, then --assemble writes BASELINE.md best-of-N.
     p.add_argument("--one", type=int, default=None,
                    help="run ONE benchjob at this core count, append JSON")
+    p.add_argument("--staging", default=None,
+                   help="pre-generated transcripts parquet (see benchjob)")
     p.add_argument("--assemble", action="store_true",
                    help="assemble BASELINE.md from BENCH/raw_runs.jsonl")
     args = p.parse_args()
 
     raw_path = os.path.join(REPO, "BENCH", "raw_runs.jsonl")
     if args.one is not None:
-        got = run_at(args.one, args.n_convs, args.giant, repeats=1)
+        got = run_at(args.one, args.n_convs, args.giant, repeats=1,
+                     staging=args.staging)
         os.makedirs(os.path.dirname(raw_path), exist_ok=True)
         with open(raw_path, "a") as f:
             f.write(json.dumps(got) + "\n")
@@ -81,16 +99,28 @@ def main() -> None:
         return
 
     if args.assemble:
+        # MEDIAN-of-N per level (not min): single-box wall times vary ±25%
+        # run-to-run (scheduler phases, page-cache state, co-resident
+        # processes) — more than the efficiency loss being measured. The
+        # median is the robust location estimate and treats both levels
+        # symmetrically; min-of-N would reward whichever level got lucky.
         runs = [json.loads(l) for l in open(raw_path) if l.strip()]
-        by_cores: dict[int, dict] = {}
-        for r in runs:
-            cur = by_cores.get(r["cores"])
-            if cur is None or r["wall_sec"] < cur["wall_sec"]:
-                by_cores[r["cores"]] = r
-        lo, hi = by_cores[args.lo], by_cores[args.hi]
+        n_turns = runs[-1]["n_turns"]
+        runs = [r for r in runs if r["n_turns"] == n_turns]
+
+        def median_run(cores: int) -> dict:
+            rs = sorted(
+                (r for r in runs if r["cores"] == cores),
+                key=lambda r: r["wall_sec"],
+            )
+            return rs[len(rs) // 2] if len(rs) % 2 else rs[len(rs) // 2 - 1]
+
+        lo, hi = median_run(args.lo), median_run(args.hi)
+        all_runs = runs
     else:
         lo = run_at(args.lo, args.n_convs, args.giant, args.repeats)
         hi = run_at(args.hi, args.n_convs, args.giant, args.repeats)
+        all_runs = [lo, hi]
     ratio = args.hi / args.lo
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
 
@@ -102,7 +132,8 @@ No multi-executor cluster exists in this sandbox, so per the driver
 instruction the north rule's two-cluster-size criterion is evidenced by the
 IDENTICAL spark-submit cascade job (raw→1m→1h→1d + Gorilla, manifest lineage
 on) on the IDENTICAL deterministic input at two local parallelism levels
-(best-of-2 runs per level; single-box timings vary ±20% run-to-run).
+(MEDIAN of repeated runs per level; single-box timings vary ±25% run-to-run,
+more than the effect measured, so the median — not the min — is reported).
 Each level runs in its own process/JVM with shuffle partitions sized to its
 cores; local[{args.lo}] and local[{args.hi}] both leave headroom on the
 32-core box so task threads aren't contending with JVM service threads.
@@ -128,14 +159,13 @@ page cache, and one JVM heap per process — a real 4× executor cluster
 multiplies those resources too, so this measurement is a LOWER bound on
 cluster scaling for the shuffle/scan-bound stages. Fixed driver-side job
 latency (~2-5 s/stage: planning, manifest commit, dynamic-overwrite file
-moves) is identical at both levels and sized into the input (~22M turns) so
+moves) is identical at both levels and sized into the input (~40M turns) so
 it amortizes below 10% of wall.
 
-Raw JSON:
+Raw JSON (every run, medians taken per level):
 
 ```json
-{json.dumps(lo)}
-{json.dumps(hi)}
+{chr(10).join(json.dumps(r) for r in all_runs)}
 ```
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")

@@ -63,26 +63,49 @@ class Manifest:
         return {r.partition_key for r in rows}
 
     def commit(self, rows: list[dict]) -> None:
+        """Append one parquet file with the batch's lineage rows.
+
+        Written DRIVER-SIDE with pyarrow (temp file + atomic rename — the
+        same append-snapshot protocol), not as a Spark job: a manifest
+        commit is a handful of rows, and a Spark job per commit added ~1 s
+        of pure scheduling latency to EVERY stage of the cascade."""
         if not rows:
             return
-        now = time.time()
-        df = self.spark.createDataFrame(
-            [
-                (
-                    r["job_id"],
-                    r["stage"],
-                    r["partition_key"],
-                    r["table"],
-                    int(r["rows_out"]),
-                    r.get("checksum"),
-                    int(r["wall_ms"]),
-                )
-                for r in rows
-            ],
-            "job_id string, stage string, partition_key string, table string,"
-            " rows_out long, checksum long, wall_ms long",
-        ).withColumn("committed_at", F.timestamp_seconds(F.lit(now)))
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        import os
+        import uuid
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        now = datetime.fromtimestamp(time.time(), tz=timezone.utc).replace(
+            tzinfo=None
+        )
+        table = pa.table(
+            {
+                "job_id": pa.array([r["job_id"] for r in rows], pa.string()),
+                "stage": pa.array([r["stage"] for r in rows], pa.string()),
+                "partition_key": pa.array(
+                    [r["partition_key"] for r in rows], pa.string()
+                ),
+                "table": pa.array([r["table"] for r in rows], pa.string()),
+                "rows_out": pa.array(
+                    [int(r["rows_out"]) for r in rows], pa.int64()
+                ),
+                "checksum": pa.array(
+                    [r.get("checksum") for r in rows], pa.int64()
+                ),
+                "wall_ms": pa.array(
+                    [int(r["wall_ms"]) for r in rows], pa.int64()
+                ),
+                "committed_at": pa.array([now] * len(rows), pa.timestamp("us")),
+            }
+        )
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"{self.path}/.tmp-{uuid.uuid4().hex}.parquet"
+        final = f"{self.path}/part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, tmp)
+        os.rename(tmp, final)
 
     def stats(self, job_id: str | None = None) -> DataFrame | None:
         df = self._read()

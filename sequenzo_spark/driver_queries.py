@@ -468,6 +468,40 @@ def q_xtabs_state_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_xtabs(ev, "state", "hour_of_day")
 
 
+def q_transition_pwight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqtransn pwight=True (simple_characteristics.py:283-294): per-seq sum
+    of global P(to|from) over consecutive DSS pairs — broadcast rate join."""
+    from sequenzo_spark.operators.transitions import transition_pwight
+
+    turns = _event_turns(spark, sf_dir)
+    p = transition_pwight(turns)
+    return p.select("seq_id", F.round("pwight", R).alias("pwight"), "n_dss_pairs")
+
+
+def q_gapfill_linear_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over missing minute buckets of the (sparser)
+    purchase-only value series — the second gap-fill method the north rule
+    names (operators/gapfill.fill_gaps method='linear')."""
+    from sequenzo_spark.operators.gapfill import fill_gaps
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    m = ev.groupBy(F.date_trunc("minute", "ts").alias("time_bucket")).agg(
+        F.round(F.sum("value"), R).alias("value_sum")
+    )
+    filled = fill_gaps(m, key_cols=[], value_cols=["value_sum"],
+                       step_seconds=60, method="linear")
+    # Tie-nudged 6 dp round: interpolation weights on a minute grid are
+    # binary fractions (k/2^m), so interpolated values often land EXACTLY on
+    # decimal .5 ties where the engines' round() tie-breaking differs; the
+    # +1e-9 bias (≫ the 1-ulp cross-engine noise, ≪ the 1e-6 resolution)
+    # pushes both sides off the tie in the same direction.
+    return filled.select(
+        "time_bucket",
+        F.round(F.col("value_sum") + F.lit(1e-9), 6).alias("value_sum"),
+        "is_gap",
+    )
+
+
 # ------------------------------------------- training-data pipeline queries
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,6 +607,8 @@ QUERIES = {
     "person_period": q_person_period,
     "find_seq_occurrences": q_find_seq_occurrences,
     "xtabs_state_hour": q_xtabs_state_hour,
+    "transition_pwight": q_transition_pwight,
+    "gapfill_linear_minutely": q_gapfill_linear_minutely,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "quality_metrics": q_quality_metrics,
     "doc_fingerprint": q_doc_fingerprint,
@@ -992,6 +1028,76 @@ ORACLE_SQL = {
                CAST(date_part('hour', ts) AS BIGINT) AS v2,
                CAST(count(*) AS DOUBLE) AS weighted_count
         FROM events GROUP BY 1, 2
+    """,
+    "transition_pwight": f"""
+        WITH {_SPELLS_CTE},
+        tp AS (
+            SELECT state AS from_state,
+                   lead(state) OVER (PARTITION BY seq_id ORDER BY pos) AS to_state
+            FROM turns
+        ),
+        tc AS (
+            SELECT from_state, to_state, CAST(count(*) AS DOUBLE) AS c
+            FROM tp WHERE to_state IS NOT NULL GROUP BY 1, 2
+        ),
+        rates AS (
+            SELECT from_state, to_state,
+                   c / sum(c) OVER (PARTITION BY from_state) AS transition_rate
+            FROM tc
+        ),
+        dp AS (
+            SELECT seq_id, state AS from_state,
+                   lead(state) OVER (PARTITION BY seq_id ORDER BY spell_id)
+                       AS to_state
+            FROM spells
+        )
+        SELECT d.seq_id, round(sum(r.transition_rate), {R}) AS pwight,
+               count(*) AS n_dss_pairs
+        FROM dp d LEFT JOIN rates r
+          ON d.from_state = r.from_state AND d.to_state = r.to_state
+        WHERE d.to_state IS NOT NULL
+        GROUP BY d.seq_id
+    """,
+    "gapfill_linear_minutely": f"""
+        WITH m AS (
+            SELECT date_trunc('minute', ts) AS tb, round(sum(value), {R}) AS v
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        grid AS (
+            SELECT unnest(generate_series((SELECT min(tb) FROM m),
+                                          (SELECT max(tb) FROM m),
+                                          INTERVAL 1 MINUTE)) AS time_bucket
+        ),
+        j AS (SELECT g.time_bucket, m.v FROM grid g LEFT JOIN m ON m.tb = g.time_bucket),
+        w AS (
+            SELECT time_bucket, v, v IS NULL AS is_gap,
+                   CAST(epoch(time_bucket) AS DOUBLE) AS t,
+                   last_value(v IGNORE NULLS) OVER (
+                       ORDER BY time_bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL
+                                   THEN CAST(epoch(time_bucket) AS DOUBLE) END
+                       IGNORE NULLS) OVER (
+                       ORDER BY time_bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                   first_value(v IGNORE NULLS) OVER (
+                       ORDER BY time_bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN v IS NOT NULL
+                                    THEN CAST(epoch(time_bucket) AS DOUBLE) END
+                       IGNORE NULLS) OVER (
+                       ORDER BY time_bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+            FROM j
+        )
+        SELECT time_bucket,
+               round((CASE WHEN NOT is_gap THEN v
+                           WHEN pv IS NULL THEN nv
+                           WHEN nv IS NULL THEN pv
+                           ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END)
+                     + 1e-9, 6) AS value_sum,
+               is_gap
+        FROM w
     """,
     "gapfill_locf_minutely": f"""
         WITH m AS (

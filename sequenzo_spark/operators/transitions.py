@@ -82,3 +82,36 @@ def transition_rates(
         "transition_rate",
         F.col("transition_count") / F.sum("transition_count").over(w),
     )
+
+
+def transition_pwight(
+    df: DataFrame,
+    seq_col: str = "seq_id",
+    order_col: str = "pos",
+    state_col: str = "state",
+) -> DataFrame:
+    """Probability-weighted transition count (seqtransn pwight=True,
+    simple_characteristics.py:283-294): per sequence, the sum of GLOBAL
+    transition rates P(to|from) over its consecutive DSS (distinct-state)
+    pairs.
+
+    Plan: the K×K rate matrix is a tiny derived table → broadcast join onto
+    the DSS pair rows; one window pass for the DSS, one for the pairs, one
+    broadcast join, one aggregation. Output: seq_id, pwight, n_dss_pairs."""
+    from sequenzo_spark.operators.spells import spell_table
+
+    rates = transition_rates(
+        transition_counts(df, seq_col, order_col, state_col)
+    ).select("from_state", "to_state", "transition_rate")
+    spells = spell_table(df, seq_col, order_col, state_col)
+    w = Window.partitionBy(seq_col).orderBy("spell_id")
+    pairs = spells.select(
+        F.col(seq_col).alias("seq_id"),
+        F.col("state").alias("from_state"),
+        F.lead("state").over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    joined = pairs.join(F.broadcast(rates), ["from_state", "to_state"], "left")
+    return joined.groupBy("seq_id").agg(
+        F.sum("transition_rate").alias("pwight"),
+        F.count(F.lit(1)).alias("n_dss_pairs"),
+    )

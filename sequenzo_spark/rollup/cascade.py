@@ -97,53 +97,36 @@ def _write_and_measure(
     spark: SparkSession,
     df: DataFrame,
     path: str,
-    checksums: bool = True,
+    checksums: bool = False,
     read_filter=None,
 ) -> list[tuple[str, int, int | None]]:
-    """Write partitioned parquet + collect per-(cb,date) (key, rows, checksum).
+    """Checksum-less write path (the bulk passthrough encode stage): write
+    partitioned parquet, then count rows per (cb,date) from the written
+    parquet FOOTERS (a columnless grouped count reads metadata only) — no
+    persist, no second pass over the data. The encode invariant is covered
+    separately by the text-passthrough check.
 
-    checksums=True (tier tables, small): the batch output is persisted once,
-    the write streams from cache, and the metrics aggregation reuses it — no
-    read-back of the files just written.
+    Checksummed tier tables take the fused persist→parallel-write→single
+    union-metrics job inside run_stage instead (one collect per STAGE, not
+    per table).
 
-    checksums=False (the bulk passthrough encode stage): no persist, no
-    second pass over the data — per-partition row counts come from the
-    written parquet FOOTERS (a columnless grouped count reads metadata
-    only). The encode invariant is covered separately by the
-    text-passthrough check.
-
-    Both paths repartition by the write layout first: one task per
-    (cb, date) partition dir → one file each, instead of every task spraying
-    a small file into every dir (small-files write amplification)."""
-    if not checksums:
-        df.repartition(*[F.col(c) for c in PART_COLS]).write.mode(
-            "overwrite"
-        ).partitionBy(*PART_COLS).parquet(path)
-        # read_filter restricts the footer-count read-back to THIS batch's
-        # partitions (partition pruning on the dir layout): without it each
-        # batch re-scans every footer written so far — O(batches²) metadata
-        # reads — and re-commits manifest rows for earlier batches.
-        rb = spark.read.parquet(path)
-        if read_filter is not None:
-            rb = rb.filter(read_filter)
-        agg = rb.groupBy(*PART_COLS).agg(F.count(F.lit(1)).alias("n")).collect()
-        return [
-            (f"{r['conv_bucket']}/{r['part_date']}", r["n"], None) for r in agg
-        ]
-    df = df.repartition(*[F.col(c) for c in PART_COLS]).persist()
-    try:
-        df.write.mode("overwrite").partitionBy(*PART_COLS).parquet(path)
-        cols = df.columns
-        agg = (
-            df.withColumn("_h", F.xxhash64(*cols))
-            .groupBy(*PART_COLS)
-            .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_h)").alias("cs"))
-            .collect()
-        )
-    finally:
-        df.unpersist()
+    Repartitions by the write layout first: one task per (cb, date)
+    partition dir → one file each, instead of every task spraying a small
+    file into every dir (small-files write amplification)."""
+    assert not checksums, "checksummed writes are fused in run_stage"
+    df.repartition(*[F.col(c) for c in PART_COLS]).write.mode(
+        "overwrite"
+    ).partitionBy(*PART_COLS).parquet(path)
+    # read_filter restricts the footer-count read-back to THIS batch's
+    # partitions (partition pruning on the dir layout): without it each
+    # batch re-scans every footer written so far — O(batches²) metadata
+    # reads — and re-commits manifest rows for earlier batches.
+    rb = spark.read.parquet(path)
+    if read_filter is not None:
+        rb = rb.filter(read_filter)
+    agg = rb.groupBy(*PART_COLS).agg(F.count(F.lit(1)).alias("n")).collect()
     return [
-        (f"{r['conv_bucket']}/{r['part_date']}", r["n"], r["cs"]) for r in agg
+        (f"{r['conv_bucket']}/{r['part_date']}", r["n"], None) for r in agg
     ]
 
 
@@ -241,30 +224,77 @@ def run_cascade(
             )
             commit_rows: list[dict] = []
 
-            def write_one(item):
-                tname, tdf = item
-                path = (
+            def _path_of(tname):
+                return (
                     f"{out_root}/{stage}/{tname}"
                     if len(outputs) > 1
                     else f"{out_root}/{stage}"
                 )
-                return tname, _write_and_measure(
-                    spark,
-                    tdf,
-                    path,
-                    checksums=checksums,
-                    read_filter=(
-                        read_filter_of(batch) if read_filter_of else None
-                    ),
-                )
 
-            # the stage's tables are independent → submit their write jobs
-            # concurrently; the Spark scheduler interleaves their stages and
-            # keeps all cores busy instead of serializing three small jobs.
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=len(outputs)) as pool:
-                results = list(pool.map(write_one, outputs.items()))
+            if not checksums:
+                def write_one(item):
+                    tname, tdf = item
+                    return tname, _write_and_measure(
+                        spark,
+                        tdf,
+                        _path_of(tname),
+                        checksums=False,
+                        read_filter=(
+                            read_filter_of(batch) if read_filter_of else None
+                        ),
+                    )
+
+                with ThreadPoolExecutor(max_workers=len(outputs)) as pool:
+                    results = list(pool.map(write_one, outputs.items()))
+            else:
+                # persist each table once; submit the (independent) write
+                # jobs concurrently so the scheduler interleaves them; then
+                # compute ALL tables' per-partition metrics in ONE job — a
+                # union of uniform (cb, date, n, checksum, table) aggregates.
+                # One collect instead of one per table: per-stage driver-job
+                # count is the cascade's fixed-cost floor, and it is what
+                # stops throughput from scaling when the per-level data work
+                # shrinks (BENCH/BASELINE.md).
+                reparted = {
+                    t: tdf.repartition(*[F.col(c) for c in PART_COLS]).persist()
+                    for t, tdf in outputs.items()
+                }
+                try:
+                    with ThreadPoolExecutor(max_workers=len(reparted)) as pool:
+                        list(
+                            pool.map(
+                                lambda item: item[1]
+                                .write.mode("overwrite")
+                                .partitionBy(*PART_COLS)
+                                .parquet(_path_of(item[0])),
+                                reparted.items(),
+                            )
+                        )
+                    metric_frames = [
+                        tdf.withColumn("_h", F.xxhash64(*tdf.columns))
+                        .groupBy(*PART_COLS)
+                        .agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.expr("bit_xor(_h)").alias("cs"),
+                        )
+                        .withColumn("_t", F.lit(tname))
+                        for tname, tdf in reparted.items()
+                    ]
+                    m = metric_frames[0]
+                    for f in metric_frames[1:]:
+                        m = m.unionByName(f)
+                    agg = m.collect()
+                finally:
+                    for tdf in reparted.values():
+                        tdf.unpersist()
+                results = {}
+                for r in agg:
+                    results.setdefault(r["_t"], []).append(
+                        (f"{r['conv_bucket']}/{r['part_date']}", r["n"], r["cs"])
+                    )
+                results = list(results.items())
             wall = int((time.time() - t0) * 1000)
             for tname, metrics in results:
                 for key, n, cs in metrics:

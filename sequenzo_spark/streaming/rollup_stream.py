@@ -52,3 +52,104 @@ def streaming_state_counts_1m(
             "w_sum",
         )
     )
+
+
+def streaming_spell_tracker(
+    turns_stream: DataFrame,
+    watermark: str = "10 minutes",
+    seq_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    state_col: str = "role",
+    ts_col: str = "ts",
+    timeout_minutes: int = 30,
+):
+    """Custom stateful streaming operator: incremental spell (run-length)
+    tracking per conversation via ``applyInPandasWithState``.
+
+    The batch spell table (operators/spells.py — seqdss/seqdur semantics)
+    needs the whole conversation in one window partition; a stream cannot
+    wait for conversation end. This operator keeps ONE tiny state row per
+    live conversation (last state, current spell id/start/length, max seen
+    turn_idx) and emits a spell row whenever a state CHANGE closes a run;
+    the still-open final spell is emitted when the conversation times out
+    (event-time timeout = conversation considered finished).
+
+    Arrow-batched per group — no per-row Python at the Spark level; the
+    per-group loop touches only that micro-batch's turns. Emitted columns
+    match the batch spell table: seq_id, spell_id, state, duration,
+    pos_start, pos_end (+ closed flag: false = timeout flush of an open
+    spell).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from sequenzo_spark import ensure_workers_can_import
+
+    ensure_workers_can_import(turns_stream.sparkSession)
+
+    out_schema = (
+        "seq_id string, spell_id int, state string, duration int, "
+        "pos_start int, pos_end int, closed boolean"
+    )
+    state_schema = (
+        "last_state string, spell_id int, pos_start int, pos_end int, "
+        "duration int"
+    )
+
+    def track(key, pdfs, state: GroupState):
+        (seq_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                ls, sid, p0, p1, dur = state.get
+                rows.append((seq_id, sid, ls, dur, p0, p1, False))
+                state.remove()
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "seq_id", "spell_id", "state", "duration",
+                    "pos_start", "pos_end", "closed",
+                ],
+            )
+            return
+        turns = pd.concat(list(pdfs)).sort_values(order_col)
+        if state.exists:
+            ls, sid, p0, p1, dur = state.get
+        else:
+            ls, sid, p0, p1, dur = None, 0, None, None, 0
+        for _, r in turns.iterrows():
+            s, pos = r[state_col], int(r[order_col])
+            if s is None or (isinstance(s, float) and pd.isna(s)):
+                s = ls  # LOCF inside the tracker (seqdur.pyx:19-20 semantics)
+                if s is None:
+                    continue
+            if ls is None:
+                ls, sid, p0, p1, dur = s, 1, pos, pos, 1
+            elif s == ls:
+                p1, dur = pos, dur + 1
+            else:
+                rows.append((seq_id, sid, ls, dur, p0, p1, True))
+                ls, sid, p0, p1, dur = s, sid + 1, pos, pos, 1
+        state.update((ls, sid, p0, p1, dur))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + timeout_minutes * 60_000
+        )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "seq_id", "spell_id", "state", "duration",
+                "pos_start", "pos_end", "closed",
+            ],
+        )
+
+    return (
+        turns_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(seq_col))
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -50,3 +50,61 @@ def test_streaming_matches_batch_1m(spark, tmp_path):
         assert expected[k] == v, k
     # coverage: the watermark tail is bounded (≤ watermark span of buckets)
     assert len(emitted) >= len(expected) * 0.5
+
+
+def test_streaming_spell_tracker_matches_batch_closed_spells(spark, tmp_path):
+    """Stateful spell tracking (applyInPandasWithState): every CLOSED spell
+    the stream emits must equal the batch spell table's row for that spell;
+    only each conversation's final (still-open) spell may be withheld."""
+    from sequenzo_spark.operators.spells import spell_table
+    from sequenzo_spark.streaming.rollup_stream import streaming_spell_tracker
+
+    src = str(tmp_path / "turns2")
+    out = str(tmp_path / "spells_out")
+    ckpt = str(tmp_path / "spells_ckpt")
+    raw = generate_transcripts(spark, n_convs=25, seed=9)
+    raw.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    spells = streaming_spell_tracker(stream)
+    q = (
+        spells.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    want = spell_table(
+        raw.select(
+            F.col("conv_id").alias("seq_id"),
+            F.col("turn_idx").alias("pos"),
+            F.col("role").alias("state"),
+        )
+    )
+    emitted = {
+        (r.seq_id, r.spell_id): (r.state, r.duration, r.pos_start, r.pos_end)
+        for r in got.filter(F.col("closed")).collect()
+    }
+    expected = {
+        (r.seq_id, r.spell_id): (r.state, r.duration, r.pos_start, r.pos_end)
+        for r in want.collect()
+    }
+    assert len(emitted) > 0
+    for k, v in emitted.items():
+        assert expected[k] == v, (k, v, expected.get(k))
+    # every non-final spell of every conversation must have been emitted
+    finals = {
+        r.seq_id: r.spell_id
+        for r in want.groupBy("seq_id").agg(
+            F.max("spell_id").alias("spell_id")
+        ).collect()
+    }
+    missing = [
+        k for k in expected
+        if k not in emitted and k[1] != finals[k[0]]
+    ]
+    assert missing == [], missing
