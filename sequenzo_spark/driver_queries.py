@@ -478,6 +478,22 @@ def q_transition_pwight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("seq_id", F.round("pwight", R).alias("pwight"), "n_dss_pairs")
 
 
+def q_transition_counts_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted trate counts (get_sm_trate_substitution_cost_matrix.pyx:73-93
+    with non-unit weights): weight = the FROM turn's value column. Exercises
+    the weight plumbing every aggregate shares (SURVEY.md §1.1 weights row).
+    6 dp: weights are real doubles, so sums are order-sensitive."""
+    from sequenzo_spark.operators.transitions import transition_counts
+
+    turns = _event_turns(spark, sf_dir)
+    c = transition_counts(turns, weight_col="value")
+    return c.select(
+        "from_state",
+        "to_state",
+        F.round("transition_count", 6).alias("transition_count"),
+    )
+
+
 def q_gapfill_linear_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation over missing minute buckets of the (sparser)
     purchase-only value series — the second gap-fill method the north rule
@@ -608,6 +624,7 @@ QUERIES = {
     "find_seq_occurrences": q_find_seq_occurrences,
     "xtabs_state_hour": q_xtabs_state_hour,
     "transition_pwight": q_transition_pwight,
+    "transition_counts_weighted": q_transition_counts_weighted,
     "gapfill_linear_minutely": q_gapfill_linear_minutely,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "quality_metrics": q_quality_metrics,
@@ -1057,6 +1074,23 @@ ORACLE_SQL = {
           ON d.from_state = r.from_state AND d.to_state = r.to_state
         WHERE d.to_state IS NOT NULL
         GROUP BY d.seq_id
+    """,
+    "transition_counts_weighted": """
+        WITH turns AS (
+            SELECT user_id AS seq_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+                   event_type AS state, ts, value, event_id
+            FROM events
+        ),
+        pairs AS (
+            SELECT state AS from_state, value,
+                   lead(state) OVER (PARTITION BY seq_id ORDER BY pos) AS to_state
+            FROM turns
+        )
+        SELECT from_state, to_state,
+               round(sum(value), 6) AS transition_count
+        FROM pairs WHERE to_state IS NOT NULL
+        GROUP BY from_state, to_state
     """,
     "gapfill_linear_minutely": f"""
         WITH m AS (

@@ -1,10 +1,18 @@
 from sequenzo_spark.functions.seqops import (
+    cut_prefix,
+    find_sequence_occurrences,
+    get_xtabs,
     seqasnum,
     seqconc,
     seqdecomp,
     seqrecode,
     seqsep,
     seqshift,
+)
+from sequenzo_spark.functions.reshape import (
+    long_to_wide,
+    person_period,
+    wide_to_long,
 )
 from sequenzo_spark.functions.weighted import (
     weighted_fivenum,
@@ -18,6 +26,12 @@ __all__ = [
     "seqshift",
     "seqrecode",
     "seqasnum",
+    "cut_prefix",
+    "find_sequence_occurrences",
+    "get_xtabs",
+    "wide_to_long",
+    "long_to_wide",
+    "person_period",
     "weighted_mean_var",
     "weighted_fivenum",
 ]

@@ -2,15 +2,25 @@ from sequenzo_spark.operators.spells import dss, locf_fill, spell_table
 from sequenzo_spark.operators.transitions import (
     transition_counts,
     transition_pairs,
+    transition_pwight,
     transition_rates,
 )
 from sequenzo_spark.operators.distributions import (
     cross_sectional_distribution,
     cross_sectional_entropy,
+    js_divergence_consecutive,
     modal_state,
 )
-from sequenzo_spark.operators.indicators import sequence_indicators, turbulence
-from sequenzo_spark.operators.gapfill import fill_gaps
+from sequenzo_spark.operators.indicators import (
+    entropy_difference,
+    integration_index,
+    mean_time_in_states,
+    sequence_indicators,
+    spell_duration_variance,
+    stat_summary,
+    turbulence,
+)
+from sequenzo_spark.operators.gapfill import densify, fill_gaps
 
 __all__ = [
     "spell_table",
@@ -19,10 +29,18 @@ __all__ = [
     "transition_pairs",
     "transition_counts",
     "transition_rates",
+    "transition_pwight",
     "cross_sectional_distribution",
     "cross_sectional_entropy",
+    "js_divergence_consecutive",
     "modal_state",
     "sequence_indicators",
     "turbulence",
+    "mean_time_in_states",
+    "entropy_difference",
+    "spell_duration_variance",
+    "integration_index",
+    "stat_summary",
+    "densify",
     "fill_gaps",
 ]

@@ -1,0 +1,103 @@
+"""Physical-plan audits — the 100 TB contract, asserted.
+
+Each test checks the OPTIMIZED PLAN SHAPE (not results): filters reach the
+parquet scan, projections prune the read schema, small dims broadcast, the
+sequence-window pipeline shuffles exactly once, and top-k plans use
+TakeOrdered instead of a global sort. A regression here is a 100×-scale
+performance bug even when sf0.001 results stay correct.
+"""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    plan = _plan(ev)
+    assert "PushedFilters" in plan and "EqualTo(event_type,purchase)" in plan, plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    from sequenzo_spark.driver_queries import QUERIES
+
+    df = QUERIES["token_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema"):][:200]
+    assert "text" in scan and "doc_id" in scan
+    assert "lang" not in scan and "source" not in scan, scan
+
+
+def test_nation_revenue_broadcasts_dims(spark):
+    from sequenzo_spark.driver_queries import QUERIES
+
+    df = QUERIES["nation_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_uses_take_ordered_not_global_sort(spark):
+    from sequenzo_spark.pipeline.similarity import brute_force_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = list(emb.first()["embedding"])
+    plan = _plan(brute_force_cosine_topk(emb, qvec, k=10))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_fused_1m_rollup_shuffles_once(spark):
+    """The raw→1m window pass (lead + lag + row_number + count over one
+    (conv) partitioning) must plan exactly ONE exchange — the whole point of
+    the fused stage (aggregates.rollup_1m_fused)."""
+    from sequenzo_spark.rollup.aggregates import rollup_1m_fused, with_conv_bucket
+    from sequenzo_spark.synth import generate_transcripts
+
+    t = with_conv_bucket(
+        generate_transcripts(spark, n_convs=20, seed=1), buckets=4
+    ).withColumn("state", F.col("role"))
+    enriched, tables = rollup_1m_fused(t)
+    try:
+        plan = _plan(enriched)
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan[:3000]}"
+    finally:
+        enriched.unpersist()
+
+
+def test_spell_table_reuses_sequence_partitioning(spark, toy):
+    """spell_table groups by (seq_id, spell_id) AFTER windowing by seq_id —
+    partitioning by seq_id already clusters those groups, so the aggregation
+    must not add a second exchange."""
+    from sequenzo_spark.operators.spells import spell_table
+
+    plan = _plan(spell_table(toy))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"{n} exchanges:\n{plan[:3000]}"
+
+
+def test_minhash_band_join_carries_ids_only(spark):
+    """The LSH band self-join must not shuffle the 64-long signatures —
+    round-1 perf finding. The join-side exchanges' schemas carry only
+    (doc_id, band, bucket)."""
+    from sequenzo_spark.pipeline.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = minhash_lsh_candidates(docs)
+    plan = _plan(df)
+    # the band-bucket candidate join is whichever join keys on band/bucket
+    # (SMJ/SHJ at scale, broadcast under AQE at toy scale); its keys must
+    # never include the 64-long signature arrays.
+    join_lines = [
+        l for l in plan.splitlines() if "Join" in l and "band" in l
+    ]
+    assert join_lines, plan[:2000]
+    for l in join_lines:
+        assert "bucket" in l, l
+        assert "signature" not in l and "s1#" not in l and "s2#" not in l, l
