@@ -116,3 +116,28 @@ def refined_alphabet_col(
         F.col(tool_col).isNotNull(),
         F.concat_ws(":", F.col(role_col), F.col(tool_col)),
     ).otherwise(F.col(role_col))
+
+
+def index_gap_report(
+    df: DataFrame,
+    seq_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> dict[str, int]:
+    """has_void_in_data recast (define_sequence_data.py:232-236): in the
+    long, rows-absent model a 'void' is a HOLE in a sequence's ordinal index
+    (turn_idx jumps). Returns how many sequences have holes and the total
+    missing positions — one aggregate pass, no window needed:
+    holes(seq) = (max_idx − min_idx + 1) − count(rows)."""
+    g = df.groupBy(seq_col).agg(
+        (
+            F.max(order_col) - F.min(order_col) + 1 - F.count(F.lit(1))
+        ).alias("_holes")
+    )
+    r = g.agg(
+        F.sum((F.col("_holes") > 0).cast("long")).alias("seqs_with_gaps"),
+        F.sum("_holes").alias("missing_positions"),
+    ).first()
+    return {
+        "seqs_with_gaps": int(r["seqs_with_gaps"] or 0),
+        "missing_positions": int(r["missing_positions"] or 0),
+    }

@@ -25,13 +25,16 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
 
 
 def test_column_pruning_in_read_schema(spark):
+    # uses the events table: the documents parquet gets .cache()d by other
+    # test modules, and a matching cached relation serves scans with the
+    # FULL schema, masking pruning (order-dependent otherwise).
     from sequenzo_spark.driver_queries import QUERIES
 
-    df = QUERIES["token_stats"](spark, SF_DIR)
+    df = QUERIES["xtabs_state_hour"](spark, SF_DIR)
     plan = _plan(df)
     scan = plan[plan.index("ReadSchema"):][:200]
-    assert "text" in scan and "doc_id" in scan
-    assert "lang" not in scan and "source" not in scan, scan
+    assert "event_type" in scan and "ts" in scan
+    assert "props" not in scan and "value" not in scan, scan
 
 
 def test_nation_revenue_broadcasts_dims(spark):

@@ -75,3 +75,12 @@ def test_get_xtabs(toy):
     }
     assert got[("A", "s1")] == 2.0
     assert got[("B", "s2")] == 2.0
+
+
+def test_index_gap_report(spark):
+    from sequenzo_spark.ingest import index_gap_report
+
+    rows = [("a", 0), ("a", 1), ("a", 3), ("b", 0), ("b", 1)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    got = index_gap_report(df)
+    assert got == {"seqs_with_gaps": 1, "missing_positions": 1}
