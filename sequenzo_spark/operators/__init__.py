@@ -18,6 +18,7 @@ from sequenzo_spark.operators.indicators import (
     sequence_indicators,
     spell_duration_variance,
     stat_summary,
+    state_freq_per_seq,
     turbulence,
 )
 from sequenzo_spark.operators.gapfill import densify, fill_gaps
@@ -41,6 +42,7 @@ __all__ = [
     "spell_duration_variance",
     "integration_index",
     "stat_summary",
+    "state_freq_per_seq",
     "densify",
     "fill_gaps",
 ]

@@ -449,3 +449,46 @@ def turbulence(
             ),
         )
     return out.select("seq_id", "n_spells", "phi", "turbulence")
+
+
+def state_freq_per_seq(
+    df: DataFrame,
+    states: list,
+    seq_col: str = "seq_id",
+    state_col: str = "state",
+    prop: bool = False,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """seqistatd (state_frequencies_and_entropy_per_sequence.py:15-38): one
+    row per sequence, one column per declared state with the (weighted) time
+    spent in it; ``prop=True`` divides by the row total.
+
+    The explicit ``states`` list makes the pivot single-pass (no
+    distinct-scan job) and fixes the output schema up front — the
+    reference's declared-alphabet regime. Absent states are 0, matching the
+    dense matrix semantics."""
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    p = (
+        df.filter(F.col(state_col).isNotNull())
+        .groupBy(F.col(seq_col).alias("seq_id"))
+        .pivot(state_col, values=[str(s) for s in states])
+        .agg(F.sum(w))
+    )
+    for s in states:
+        p = p.withColumn(str(s), F.coalesce(F.col(f"`{s}`"), F.lit(0.0)))
+    if prop:
+        # single select against the ORIGINAL columns: sequential withColumn
+        # would re-evaluate the row total against already-normalized values
+        total = None
+        for s in states:
+            total = F.col(f"`{s}`") if total is None else total + F.col(f"`{s}`")
+        p = p.select(
+            "seq_id",
+            *[
+                F.when(total == 0, F.lit(0.0))
+                .otherwise(F.col(f"`{s}`") / total)
+                .alias(str(s))
+                for s in states
+            ],
+        )
+    return p

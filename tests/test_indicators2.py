@@ -146,3 +146,14 @@ def test_js_divergence_consecutive(spark):
         1.0 * math.log(1.0 / 0.75)
     )
     assert got[2] == pytest.approx(math.sqrt(div))
+
+
+def test_state_freq_per_seq(toy3):
+    from sequenzo_spark.operators.indicators import state_freq_per_seq
+
+    got = {r["seq_id"]: r for r in state_freq_per_seq(toy3, ["A", "B"]).collect()}
+    assert (got["s1"]["A"], got["s1"]["B"]) == (2.0, 2.0)
+    assert (got["s3"]["A"], got["s3"]["B"]) == (4.0, 0.0)
+    prop = {r["seq_id"]: r for r in state_freq_per_seq(toy3, ["A", "B"], prop=True).collect()}
+    assert (prop["s2"]["A"], prop["s2"]["B"]) == (0.5, 0.5)
+    assert prop["s3"]["A"] == 1.0
