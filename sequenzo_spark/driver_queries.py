@@ -39,6 +39,14 @@ from sequenzo_spark.operators.transitions import transition_counts, transition_r
 
 R = 9  # rounding for derived floats on both sides
 
+# Declared state alphabet of the events fixture (TESTDATA.md; verified
+# identical at every SF). The reference requires an explicit alphabet
+# (define_sequence_data.py:148) — deriving K per query via countDistinct
+# would both add a full-column scan job before the real query at 100 TB and
+# silently redefine K as "observed" (a state absent from a slice would
+# change entropy_norm / volatility denominators).
+EVENT_STATES = ["click", "error", "purchase", "signup", "view"]
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -81,14 +89,14 @@ def q_state_dist_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xsect_entropy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-bucket Shannon entropy, ln-K normalized, K = global distinct
-    states (overall_cross_sectional_entropy.py:112-121)."""
+    """Per-bucket Shannon entropy, ln-K normalized, K = the DECLARED
+    alphabet size (overall_cross_sectional_entropy.py:112-121)."""
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy(
         F.date_trunc("hour", "ts").alias("time_bucket"),
         F.col("event_type").alias("state"),
     ).agg(F.sum(F.lit(1.0)).alias("state_count"))
-    ent = cross_sectional_entropy(counts, n_states=None)
+    ent = cross_sectional_entropy(counts, n_states=len(EVENT_STATES))
     return ent.select(
         "time_bucket",
         "n_valid",
@@ -172,8 +180,7 @@ def q_seq_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy, complexity…) — SURVEY.md §2.4 rows seqlength/seqtransn/
     seqient/seqici/seqivolatility."""
     turns = _event_turns(spark, sf_dir)
-    k = turns.select(F.countDistinct("state")).first()[0]
-    ind = sequence_indicators(turns, n_states=int(k))
+    ind = sequence_indicators(turns, n_states=len(EVENT_STATES))
     return ind.select(
         "seq_id",
         "length",
@@ -338,8 +345,7 @@ def q_spell_dur_var2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """seqivardur type 2: non-visited states as 0-duration spells with the
     closed-form var_max (variance_of_spell_durations.py:50-72)."""
     turns = _event_turns(spark, sf_dir)
-    k = turns.select(F.countDistinct("state")).first()[0]
-    v = spell_duration_variance(turns, n_states=int(k), var_type=2)
+    v = spell_duration_variance(turns, n_states=len(EVENT_STATES), var_type=2)
     return v.select(
         "seq_id",
         "n_spells",
@@ -353,11 +359,7 @@ def q_turbulence_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized type-2 turbulence (turbulence.py:94-145) — subsequence DP,
     rows-only driver check; exact toy parity in unit tests."""
     turns = _event_turns(spark, sf_dir)
-    states = [
-        r[0]
-        for r in turns.select("state").distinct().orderBy("state").collect()
-    ]
-    t = turbulence(turns, var_type=2, norm=True, states=states)
+    t = turbulence(turns, var_type=2, norm=True, states=EVENT_STATES)
     return t.select(
         "seq_id", "n_spells", F.round("phi", 3).alias("phi"),
         F.round("turbulence", R).alias("turbulence"),
@@ -1031,9 +1033,11 @@ ORACLE_SQL = {
         FROM (SELECT id, t, e, unnest(generate_series(1, t)) AS gs FROM p)
     """,
     "find_seq_occurrences": """
+        -- chr(31) = \\x1f unit separator: a separator-free concat would let
+        -- distinct sequences collide (['ab','c'] == ['a','bc']).
         WITH t AS (
             SELECT user_id,
-                   string_agg(event_type, '' ORDER BY ts, event_id) AS s
+                   string_agg(event_type, chr(31) ORDER BY ts, event_id) AS s
             FROM events GROUP BY user_id
         )
         SELECT a.user_id AS needle_id, b.user_id AS match_id
@@ -1068,11 +1072,16 @@ ORACLE_SQL = {
                        AS to_state
             FROM spells
         )
-        SELECT d.seq_id, round(sum(r.transition_rate), {R}) AS pwight,
-               count(*) AS n_dss_pairs
+        -- single-spell sequences have no DSS pair but are KEPT with 0
+        -- (reference: get_number_of_transitions pwight=True returns 0)
+        SELECT d.seq_id,
+               round(coalesce(sum(CASE WHEN d.to_state IS NOT NULL
+                                       THEN r.transition_rate END), 0.0), {R})
+                   AS pwight,
+               CAST(sum(CASE WHEN d.to_state IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dss_pairs
         FROM dp d LEFT JOIN rates r
           ON d.from_state = r.from_state AND d.to_state = r.to_state
-        WHERE d.to_state IS NOT NULL
         GROUP BY d.seq_id
     """,
     "transition_counts_weighted": """

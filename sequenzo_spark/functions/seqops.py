@@ -105,12 +105,17 @@ def find_sequence_occurrences(
     within-sequence order via array_sort on (pos,state) structs — never
     shuffle order) and semi-join on the string. The needle side is tiny in
     the reference's usage → broadcast; at scale it is a plain equi-join on
-    the concat hash."""
+    the concat hash.
+
+    States are joined with the \\x1f unit separator (cannot appear inside a
+    state token): an empty separator would let distinct sequences collide —
+    ['ab','c'] vs ['a','bc'] — and report false matches (the reference's
+    seqfind concatenates with '-', operations.py:283)."""
     def conc(df):
         arr = F.array_sort(F.collect_list(F.struct(order_col, state_col)))
         return df.groupBy(F.col(seq_col)).agg(
             F.array_join(
-                F.transform(arr, lambda s: s[state_col]), ""
+                F.transform(arr, lambda s: s[state_col]), ""
             ).alias("_s")
         )
 

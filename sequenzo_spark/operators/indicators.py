@@ -423,25 +423,43 @@ def turbulence(
         k = len(states)
         nrep = -(-int(maxlength) // k)
         synth = (list(states) * nrep)[: int(maxlength)]
-        phi_max = _phi_dp(synth)
-        # synthetic sequence: every spell has duration 1 → L = dlgth = maxlen.
-        n = float(len(synth))
+        # Spell stats of the synthetic sequence from its ACTUAL run-lengths —
+        # for k>1 every spell has duration 1, but for k==1 the whole sequence
+        # is ONE long spell, so the duration-1 closed form would be wrong
+        # (round-2 advisor finding). φ likewise runs on the DSS (as the
+        # engine does for real sequences), not the raw synthetic string.
+        from itertools import groupby
+
+        runs = [(s, sum(1 for _ in run)) for s, run in groupby(synth)]
+        durs = [d for _s, d in runs]
+        phi_max = _phi_dp([s for s, _d in runs])
+        n = float(len(durs))  # DSS length of the synthetic sequence
+        length = float(len(synth))
         visited = float(len(set(synth)))
+        mean_d = length / n
         if var_type == 1:
-            s2_s = 0.0
-            s2max_s = 0.0  # (n−1)(1−1)²
+            s2_s = sum((d - mean_d) ** 2 for d in durs) / n
+            s2max_s = (n - 1) * (1 - mean_d) ** 2
         else:
             nnv_s = k - visited
-            meand_s = n / (n + nnv_s)
-            s2_s = (n * (1 - meand_s) ** 2 + nnv_s * meand_s**2) / (n + nnv_s)
+            meand_s = length / (n + nnv_s)
+            s2_s = (
+                sum((d - meand_s) ** 2 for d in durs) + nnv_s * meand_s**2
+            ) / (n + nnv_s)
             maxnnv_s = 0.0 if k < 2 else (k - 1.0 if n == 1 else k - 2.0)
             meand_max_s = meand_s * (n + nnv_s) / (n + maxnnv_s)
             s2max_s = (
                 (n - 1) * (1 - meand_max_s) ** 2
-                + (n - n + 1 - meand_max_s) ** 2
+                + (length - n + 1 - meand_max_s) ** 2
                 + maxnnv_s * meand_max_s**2
             ) / (n + maxnnv_s)
         max_t = math.log2(phi_max * (s2max_s + 1.0) / (s2_s + 1.0))
+        if max_t <= 1.0:
+            # Degenerate alphabets/lengths (k==1, or maxlength==1 → maxT==1)
+            # make (T−1)/(maxT−1) divide by zero; the reference's norm path
+            # assumes a non-degenerate alphabet. Return UNNORMALIZED values
+            # rather than nulls (advisor-prescribed behavior).
+            return out.select("seq_id", "n_spells", "phi", "turbulence")
         out = out.withColumn(
             "turbulence",
             F.when(F.col("turbulence") < 1, F.lit(0.0)).otherwise(

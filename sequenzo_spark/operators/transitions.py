@@ -95,6 +95,11 @@ def transition_pwight(
     transition rates P(to|from) over its consecutive DSS (distinct-state)
     pairs.
 
+    Sequences with a single spell have no DSS pair: the reference returns 0
+    for them (get_number_of_transitions pwight=True), so they are kept with
+    pwight = 0.0 / n_dss_pairs = 0 rather than dropped — the conditional
+    aggregation keeps this one pass, no extra join.
+
     Plan: the K×K rate matrix is a tiny derived table → broadcast join onto
     the DSS pair rows; one window pass for the DSS, one for the pairs, one
     broadcast join, one aggregation. Output: seq_id, pwight, n_dss_pairs."""
@@ -109,9 +114,12 @@ def transition_pwight(
         F.col(seq_col).alias("seq_id"),
         F.col("state").alias("from_state"),
         F.lead("state").over(w).alias("to_state"),
-    ).filter(F.col("to_state").isNotNull())
+    )
     joined = pairs.join(F.broadcast(rates), ["from_state", "to_state"], "left")
+    has_pair = F.col("to_state").isNotNull()
     return joined.groupBy("seq_id").agg(
-        F.sum("transition_rate").alias("pwight"),
-        F.count(F.lit(1)).alias("n_dss_pairs"),
+        F.coalesce(
+            F.sum(F.when(has_pair, F.col("transition_rate"))), F.lit(0.0)
+        ).alias("pwight"),
+        F.sum(has_pair.cast("long")).alias("n_dss_pairs"),
     )

@@ -158,7 +158,12 @@ def minhash_lsh_candidates(
 
     bands=16 of rows=4 over 64 hashes → P(candidate) ≈ 1−(1−j⁴)¹⁶
     (≈0.99 at j=0.8). The band join is the scale path: shuffle keyed by
-    (band, bucket_hash), never O(n²)."""
+    (band, bucket_hash), never O(n²).
+
+    The internal signature table is persisted (it feeds the band join and
+    both re-attach joins); the handle is exposed on the result as
+    ``result._sig_cache`` so long-lived sessions can release the storage
+    after materializing the pairs: ``result._sig_cache.unpersist()``."""
     rows = n_hashes // bands
     # Persist signatures: referenced three times below (band join on ids,
     # then one re-attach per pair side). At cluster scale this is the
@@ -217,7 +222,9 @@ def minhash_lsh_candidates(
         ).cast("double")
         / F.lit(float(n_hashes))
     )
-    return cand.select("d1", "d2", est.alias("jaccard_est"))
+    result = cand.select("d1", "d2", est.alias("jaccard_est"))
+    result._sig_cache = sig  # release handle — see docstring
+    return result
 
 
 def simhash64(

@@ -130,10 +130,14 @@ def streaming_spell_tracker(
             else:
                 rows.append((seq_id, sid, ls, dur, p0, p1, True))
                 ls, sid, p0, p1, dur = s, sid + 1, pos, pos, 1
-        state.update((ls, sid, p0, p1, dur))
-        state.setTimeoutTimestamp(
-            state.getCurrentWatermarkMs() + timeout_minutes * 60_000
-        )
+        # Skip state creation until a non-null state is seen: a micro-batch of
+        # only null-state turns would otherwise store last_state=None and the
+        # timeout would flush a phantom NULL spell (duration 0).
+        if ls is not None:
+            state.update((ls, sid, p0, p1, dur))
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + timeout_minutes * 60_000
+            )
         yield pd.DataFrame(
             rows,
             columns=[

@@ -157,3 +157,32 @@ def test_state_freq_per_seq(toy3):
     prop = {r["seq_id"]: r for r in state_freq_per_seq(toy3, ["A", "B"], prop=True).collect()}
     assert (prop["s2"]["A"], prop["s2"]["B"]) == (0.5, 0.5)
     assert prop["s3"]["A"] == 1.0
+
+
+def test_turbulence_norm_k1_single_state_alphabet(spark):
+    """k=1, var_type=2: the synthetic max sequence is ONE long spell, not
+    length-1 spells; maxT degenerates (≤1) and the norm path must fall back
+    to unnormalized values instead of dividing by zero (round-2 advisor)."""
+    rows = [("s1", 0, "A"), ("s1", 1, "A"), ("s1", 2, "A")]
+    df = spark.createDataFrame(rows, "seq_id string, pos int, state string")
+    got = turbulence(df, var_type=2, norm=True, states=["A"]).collect()
+    assert len(got) == 1
+    assert got[0]["turbulence"] is not None
+    assert math.isfinite(got[0]["turbulence"])
+    # unnormalized value: DSS [A], φ=2, k=1 ⇒ nnv=0, meand=3, s2=0,
+    # maxnnv=0, meand_max=3, s2max=(0·(1−3)² + (3−1+1−3)²)/1 = 0
+    # → T = log2(2·(0+1)/(0+1)) = 1
+    assert got[0]["turbulence"] == pytest.approx(1.0)
+
+
+def test_turbulence_norm_maxlength1(spark):
+    """All sequences of length 1 → synthetic maxT == 1: (T−1)/(maxT−1) would
+    divide by zero; fall back to unnormalized (round-2 advisor)."""
+    rows = [("s1", 0, "A"), ("s2", 0, "B")]
+    df = spark.createDataFrame(rows, "seq_id string, pos int, state string")
+    got = turbulence(df, var_type=1, norm=True, states=["A", "B"]).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["turbulence"] is not None and math.isfinite(r["turbulence"])
+        # single spell, φ=2, s2=s2max=0 → T = log2(2) = 1
+        assert r["turbulence"] == pytest.approx(1.0)

@@ -84,3 +84,22 @@ def test_index_gap_report(spark):
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
     got = index_gap_report(df)
     assert got == {"seqs_with_gaps": 1, "missing_positions": 1}
+
+
+def test_find_sequence_occurrences_no_concat_collision(spark):
+    """['ab','c'] must NOT match ['a','bc'] — a separator-free concat would
+    collide them (round-2 advisor finding; reference seqfind joins with '-',
+    operations.py:283)."""
+    needles = spark.createDataFrame(
+        [("n1", 1, "ab"), ("n1", 2, "c")],
+        "seq_id string, pos int, state string",
+    )
+    hay = spark.createDataFrame(
+        [("h1", 1, "a"), ("h1", 2, "bc"), ("h2", 1, "ab"), ("h2", 2, "c")],
+        "seq_id string, pos int, state string",
+    )
+    got = {
+        (r.needle_id, r.match_id)
+        for r in find_sequence_occurrences(needles, hay).collect()
+    }
+    assert got == {("n1", "h2")}

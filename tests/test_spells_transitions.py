@@ -125,3 +125,21 @@ def test_turbulence_toy(toy):
     s2max = 2 * (1 - 4 / 3) ** 2
     expect = math.log2(7 * (s2max + 1) / (dur_var + 1))
     assert abs(t["s2"].turbulence - expect) < 1e-12
+
+
+def test_transition_pwight_keeps_single_spell_sequences(spark):
+    """A sequence with one spell has no DSS pair; the reference returns 0
+    (get_number_of_transitions pwight=True), not a missing row (round-2
+    advisor: consumers joining on seq_id silently lost these rows)."""
+    from sequenzo_spark.operators.transitions import transition_pwight
+
+    rows = [
+        ("s1", 0, "A"), ("s1", 1, "B"),   # one A→B pair
+        ("s2", 0, "A"), ("s2", 1, "A"),   # single spell → 0
+    ]
+    df = spark.createDataFrame(rows, "seq_id string, pos int, state string")
+    got = {r.seq_id: r for r in transition_pwight(df).collect()}
+    assert set(got) == {"s1", "s2"}
+    assert got["s2"]["pwight"] == 0.0
+    assert got["s2"]["n_dss_pairs"] == 0
+    assert got["s1"]["n_dss_pairs"] == 1

@@ -108,3 +108,44 @@ def test_streaming_spell_tracker_matches_batch_closed_spells(spark, tmp_path):
         if k not in emitted and k[1] != finals[k[0]]
     ]
     assert missing == [], missing
+
+
+def test_streaming_spell_tracker_all_null_states_no_phantom(spark, tmp_path):
+    """A conversation whose turns are ALL null-state must emit no spell rows
+    at all — round-2 advisor: storing last_state=None caused the event-time
+    timeout to flush a phantom NULL spell with duration 0."""
+    from sequenzo_spark.streaming.rollup_stream import streaming_spell_tracker
+
+    src = str(tmp_path / "turns_null")
+    out = str(tmp_path / "null_out")
+    ckpt = str(tmp_path / "null_ckpt")
+    rows = [
+        ("cnull", i, None, "t", None, f"2024-01-01 00:{i:02d}:00")
+        for i in range(3)
+    ] + [
+        # a normal conversation far in the future so the watermark advances
+        # well past cnull's timeout window
+        ("cok", 0, "user", "t", None, "2024-01-02 00:00:00"),
+        ("cok", 1, "assistant", "t", None, "2024-01-02 00:01:00"),
+        ("cok", 2, "user", "t", None, "2024-01-02 12:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    spells = streaming_spell_tracker(stream, timeout_minutes=1)
+    q = (
+        spells.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert all(r.seq_id != "cnull" for r in got), got
+    assert all(r.state is not None for r in got), got
