@@ -520,6 +520,37 @@ def q_gapfill_linear_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_modal_sequence_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqmodst occurrence count (cross_sectional_indicators.py:180-192):
+    per-position modal sequence + count of sequences matching its prefix of
+    their length (variable-length recast of the exact-equality rule)."""
+    from sequenzo_spark.operators.distributions import modal_sequence_occurrences
+
+    turns = _event_turns(spark, sf_dir)
+    return modal_sequence_occurrences(turns)
+
+
+def q_event_counts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSE export (to_event_rows, seqe2tse semantics) aggregated to daily
+    event counts: initial-state events plus 'prev>new' transition events."""
+    from sequenzo_spark.functions.seqops import to_event_rows
+
+    turns = _event_turns(spark, sf_dir)
+    ev = to_event_rows(turns, ts_col="ts")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("time_bucket"), "event"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def q_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 whole-sequence patterns by count (most_frequent_sequences,
+    §2.6) — plans as TakeOrderedAndProject, never a global sort."""
+    from sequenzo_spark.functions.seqops import most_frequent_sequences
+
+    turns = _event_turns(spark, sf_dir)
+    return most_frequent_sequences(turns, k=10)
+
+
 # ------------------------------------------- training-data pipeline queries
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,6 +659,9 @@ QUERIES = {
     "transition_pwight": q_transition_pwight,
     "transition_counts_weighted": q_transition_counts_weighted,
     "gapfill_linear_minutely": q_gapfill_linear_minutely,
+    "modal_sequence_occurrences": q_modal_sequence_occurrences,
+    "event_counts_daily": q_event_counts_daily,
+    "top_sequences": q_top_sequences,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "quality_metrics": q_quality_metrics,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1169,6 +1203,65 @@ ORACLE_SQL = {
         SELECT count(*) AS n_seqs, count(DISTINCT s) AS n_unique,
                round(count(DISTINCT s) * 1.0 / count(*), {R}) AS uniqueness_rate
         FROM t
+    """,
+    "modal_sequence_occurrences": f"""
+        WITH {_TURNS_CTE},
+        byp AS (
+            SELECT pos, state, CAST(count(*) AS DOUBLE) AS c
+            FROM turns GROUP BY pos, state
+        ),
+        rk AS (
+            SELECT pos, state,
+                   row_number() OVER (PARTITION BY pos
+                                      ORDER BY c DESC, state ASC) AS r
+            FROM byp
+        ),
+        marr AS (SELECT list(state ORDER BY pos) AS ma FROM rk WHERE r = 1),
+        seqs AS (
+            SELECT seq_id, list(state ORDER BY pos) AS arr
+            FROM turns GROUP BY seq_id
+        )
+        SELECT array_to_string(ma, '-') AS modal_seq,
+               CAST(sum(CASE WHEN arr = ma[1:len(arr)] THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matching,
+               count(*) AS n_seqs
+        FROM seqs, marr GROUP BY ma
+    """,
+    "event_counts_daily": """
+        WITH turns AS (
+            SELECT user_id AS seq_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+                   event_type AS state, ts
+            FROM events
+        ),
+        e AS (
+            SELECT ts,
+                   CASE WHEN lag(state) OVER w IS NULL THEN state
+                        WHEN lag(state) OVER w <> state
+                            THEN lag(state) OVER w || '>' || state
+                   END AS event
+            FROM turns WINDOW w AS (PARTITION BY seq_id ORDER BY pos)
+        )
+        SELECT date_trunc('day', ts) AS time_bucket, event,
+               count(*) AS n_events
+        FROM e WHERE event IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    "top_sequences": """
+        WITH turns AS (
+            SELECT user_id AS seq_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+                   event_type AS state
+            FROM events
+        ),
+        s AS (
+            SELECT seq_id, string_agg(state, '-' ORDER BY pos) AS seq_str
+            FROM turns GROUP BY seq_id
+        )
+        SELECT seq_str, count(*) AS n_seqs
+        FROM s GROUP BY seq_str
+        ORDER BY n_seqs DESC, seq_str ASC
+        LIMIT 10
     """,
     "ngram_jaccard_pairs": f"""
         WITH toks AS (

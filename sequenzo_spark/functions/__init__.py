@@ -2,12 +2,14 @@ from sequenzo_spark.functions.seqops import (
     cut_prefix,
     find_sequence_occurrences,
     get_xtabs,
+    most_frequent_sequences,
     seqasnum,
     seqconc,
     seqdecomp,
     seqrecode,
     seqsep,
     seqshift,
+    to_event_rows,
 )
 from sequenzo_spark.functions.reshape import (
     long_to_wide,
@@ -29,6 +31,8 @@ __all__ = [
     "cut_prefix",
     "find_sequence_occurrences",
     "get_xtabs",
+    "to_event_rows",
+    "most_frequent_sequences",
     "wide_to_long",
     "long_to_wide",
     "person_period",

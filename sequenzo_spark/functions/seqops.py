@@ -139,3 +139,77 @@ def get_xtabs(
         .groupBy(F.col(col1).alias("v1"), F.col(col2).alias("v2"))
         .agg(F.sum(w).alias("weighted_count"))
     )
+
+
+def to_event_rows(
+    df,
+    seq_col: str = "seq_id",
+    order_col: str = "pos",
+    state_col: str = "state",
+    ts_col: str | None = None,
+    representation: str = "transition",
+):
+    """STS→TSE export — the named event-sequence surface (seqe2tse /
+    from_state_sequences, event_sequences/core.py:233-252, :876-917,
+    :1195-1240): one row per EVENT — the initial state entry plus one row per
+    state change, in canonical (id, ts/pos, event) order.
+
+    ``representation`` (reference event_representation, core.py:1099-1111):
+    - "transition": change events labeled 'prev>new' (default);
+    - "state": change events labeled with the entered state.
+    The initial event is always the first observed state (diagonal rule,
+    core.py:1091-1096).
+
+    Long-format recast: the reference synthesizes timestamps 0,1,2,… from
+    wide-matrix column indices; this engine's input is already timestamped,
+    so each event row carries the entering turn's actual (pos [, ts]). One
+    window pass (lag) + one filter — no shuffle beyond the seq partition.
+    """
+    if representation not in ("transition", "state"):
+        raise ValueError("representation must be 'transition' or 'state'")
+    w = Window.partitionBy(seq_col).orderBy(order_col)
+    valid = df.filter(F.col(state_col).isNotNull())
+    prev = F.lag(state_col).over(w)
+    change_lbl = (
+        F.concat(prev, F.lit(">"), F.col(state_col))
+        if representation == "transition"
+        else F.col(state_col)
+    )
+    event = F.when(prev.isNull(), F.col(state_col)).when(
+        prev != F.col(state_col), change_lbl
+    )
+    cols = [F.col(seq_col).alias("seq_id"), F.col(order_col).alias("pos")]
+    if ts_col:
+        cols.append(F.col(ts_col).alias("ts"))
+    return (
+        valid.withColumn("_ev", event)
+        .filter(F.col("_ev").isNotNull())
+        .select(*cols, F.col("_ev").alias("event"))
+    )
+
+
+def most_frequent_sequences(
+    df,
+    k: int = 10,
+    seq_col: str = "seq_id",
+    order_col: str = "pos",
+    state_col: str = "state",
+    sep: str = "-",
+):
+    """Top-k whole-sequence patterns by occurrence count — the kernel behind
+    the reference's plot_most_frequent_sequences (visualization/
+    plot_most_frequent_sequences.py; SURVEY.md §2.6 top-k row).
+
+    Ties broken by seq_str ascending for a deterministic total order. The
+    ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition top-k
+    heaps merged on the driver) — never a global sort, so k rows come back
+    from any corpus size. Output: seq_str, n_seqs.
+    """
+    arr = F.array_sort(F.collect_list(F.struct(order_col, state_col)))
+    seqs = df.groupBy(F.col(seq_col)).agg(
+        F.array_join(F.transform(arr, lambda s: s[state_col]), sep).alias(
+            "seq_str"
+        )
+    )
+    counts = seqs.groupBy("seq_str").agg(F.count(F.lit(1)).alias("n_seqs"))
+    return counts.orderBy(F.desc("n_seqs"), F.asc("seq_str")).limit(k)

@@ -9,6 +9,7 @@ from sequenzo_spark.operators.distributions import (
     cross_sectional_distribution,
     cross_sectional_entropy,
     js_divergence_consecutive,
+    modal_sequence_occurrences,
     modal_state,
 )
 from sequenzo_spark.operators.indicators import (
@@ -35,6 +36,7 @@ __all__ = [
     "cross_sectional_entropy",
     "js_divergence_consecutive",
     "modal_state",
+    "modal_sequence_occurrences",
     "sequence_indicators",
     "turbulence",
     "mean_time_in_states",

@@ -161,3 +161,42 @@ def modal_state(dist: DataFrame) -> DataFrame:
             F.col("freq").alias("modal_freq"),
         )
     )
+
+
+def modal_sequence_occurrences(
+    df: DataFrame,
+    seq_col: str = "seq_id",
+    order_col: str = "pos",
+    state_col: str = "state",
+    sep: str = "-",
+) -> DataFrame:
+    """seqmodst occurrence count (cross_sectional_indicators.py:180-192): the
+    per-position modal-state sequence plus how many sequences MATCH it.
+
+    The reference's wide matrix is fixed-length, so "match" is exact equality
+    at every position; this engine's sequences vary in length, so a sequence
+    matches iff it equals the modal sequence's PREFIX of its own length (the
+    documented variable-length recast — full-length sequences reduce to the
+    reference's exact-equality rule).
+
+    Plan: per-position modal via one hash agg + one rank window over at most
+    (max_len × K) rows; the modal array is ONE row (bounded by max sequence
+    length) → broadcast; per-sequence arrays compare against its slice.
+    Output one row: modal_seq, n_matching, n_seqs."""
+    dist = cross_sectional_distribution(df, bucket_col=order_col, state_col=state_col)
+    modal = modal_state(dist)  # time_bucket = pos here
+    marr = modal.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("time_bucket").alias("p"), F.col("modal_state").alias("s")))
+        ).alias("_m")
+    ).select(F.transform("_m", lambda x: x["s"]).alias("modal_arr"))
+    seqs = df.filter(F.col(state_col).isNotNull()).groupBy(F.col(seq_col)).agg(
+        F.array_sort(F.collect_list(F.struct(order_col, state_col))).alias("_a")
+    ).select(F.transform("_a", lambda x: x[state_col]).alias("arr"))
+    j = seqs.crossJoin(F.broadcast(marr))
+    match = F.col("arr") == F.slice(F.col("modal_arr"), 1, F.size("arr"))
+    return j.agg(
+        F.first(F.array_join("modal_arr", sep)).alias("modal_seq"),
+        F.sum(match.cast("long")).alias("n_matching"),
+        F.count(F.lit(1)).alias("n_seqs"),
+    )

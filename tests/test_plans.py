@@ -104,3 +104,13 @@ def test_minhash_band_join_carries_ids_only(spark):
     for l in join_lines:
         assert "bucket" in l, l
         assert "signature" not in l and "s1#" not in l and "s2#" not in l, l
+
+
+def test_top_sequences_uses_take_ordered(spark):
+    """most_frequent_sequences must plan the top-k as TakeOrderedAndProject
+    (per-partition heaps) — a global Sort would materialize every distinct
+    sequence pattern at 100 TB."""
+    from sequenzo_spark.driver_queries import QUERIES
+
+    plan = _plan(QUERIES["top_sequences"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]

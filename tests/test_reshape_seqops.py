@@ -103,3 +103,63 @@ def test_find_sequence_occurrences_no_concat_collision(spark):
         for r in find_sequence_occurrences(needles, hay).collect()
     }
     assert got == {("n1", "h2")}
+
+
+def test_to_event_rows_transition_and_state(spark):
+    """STS→TSE toy: A-A-B-B-A → initial A, then A>B at the entering pos,
+    then B>A (core.py:1195-1240 semantics in long format)."""
+    from sequenzo_spark.functions.seqops import to_event_rows
+
+    rows = [("s1", i + 1, s) for i, s in enumerate(["A", "A", "B", "B", "A"])]
+    df = spark.createDataFrame(rows, "seq_id string, pos int, state string")
+    got = [
+        (r.pos, r.event)
+        for r in to_event_rows(df).orderBy("pos").collect()
+    ]
+    assert got == [(1, "A"), (3, "A>B"), (5, "B>A")]
+    got_state = [
+        (r.pos, r.event)
+        for r in to_event_rows(df, representation="state").orderBy("pos").collect()
+    ]
+    assert got_state == [(1, "A"), (3, "B"), (5, "A")]
+
+
+def test_to_event_rows_skips_nulls(spark):
+    from sequenzo_spark.functions.seqops import to_event_rows
+
+    rows = [("s1", 1, None), ("s1", 2, "A"), ("s1", 3, None), ("s1", 4, "B")]
+    df = spark.createDataFrame(rows, "seq_id string, pos int, state string")
+    got = [(r.pos, r.event) for r in to_event_rows(df).orderBy("pos").collect()]
+    # null positions are dropped before the lag: A at 2 is initial, B at 4 changes
+    assert got == [(2, "A"), (4, "A>B")]
+
+
+def test_most_frequent_sequences_topk(spark):
+    from sequenzo_spark.functions.seqops import most_frequent_sequences
+
+    rows = []
+    for sid, pat in [("a", "AB"), ("b", "AB"), ("c", "AB"),
+                     ("d", "BA"), ("e", "BA"), ("f", "CC")]:
+        for i, s in enumerate(pat):
+            rows.append((sid, i + 1, s))
+    df = spark.createDataFrame(rows, "seq_id string, pos int, state string")
+    got = [(r.seq_str, r.n_seqs) for r in most_frequent_sequences(df, k=2).collect()]
+    assert got == [("A-B", 3), ("B-A", 2)]
+
+
+def test_modal_sequence_occurrences_toy(spark):
+    """Modal per pos of {AAB, ABB, AB} is A at 1 (3/3), B at 2 (2/3),
+    B at 3 (tie A/B → B? counts: pos3 has B(s1) and B(s2)? s1=AAB: pos3=B;
+    s2=ABB: pos3=B; s3 len2. modal = A-B-B. Matches: s2 (ABB == prefix 3),
+    s3 (AB == prefix 2); s1 (AAB) differs at pos 2."""
+    from sequenzo_spark.operators.distributions import modal_sequence_occurrences
+
+    rows = []
+    for sid, pat in [("s1", "AAB"), ("s2", "ABB"), ("s3", "AB")]:
+        for i, s in enumerate(pat):
+            rows.append((sid, i + 1, s))
+    df = spark.createDataFrame(rows, "seq_id string, pos int, state string")
+    r = modal_sequence_occurrences(df).first()
+    assert r["modal_seq"] == "A-B-B"
+    assert r["n_matching"] == 2
+    assert r["n_seqs"] == 3
