@@ -520,6 +520,44 @@ def q_gapfill_linear_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_state_dist_hourly_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cross-sectional distribution (seqstatd with non-unit weights,
+    overall_cross_sectional_entropy.py:93-109; weight = value col) —
+    exercises the Σw·1[s=k] plumbing every aggregate claims. 6 dp on the
+    weighted sums (real doubles → order-sensitive), 9 dp on the ratio;
+    freq_rank omitted: ranking on float sums is tie-unstable cross-engine."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "time_bucket", F.date_trunc("hour", "ts")
+    )
+    dist = cross_sectional_distribution(
+        ev, "time_bucket", "event_type", weight_col="value"
+    )
+    return dist.select(
+        "time_bucket",
+        "state",
+        F.round("state_count", 6).alias("state_count"),
+        F.round("n_valid", 6).alias("n_valid"),
+        F.round("freq", R).alias("freq"),
+    )
+
+
+def q_mean_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqmeant with per-sequence weights (cross_sectional_indicators.py:
+    25-102, weighted regime define_sequence_data.py:507-511): weight =
+    seq_id%3+1 (small exact integers → all moment sums exact in float64)."""
+    turns = _event_turns(spark, sf_dir).withColumn(
+        "wt", (F.col("seq_id") % 3 + 1).cast("double")
+    )
+    m = mean_time_in_states(turns, weight_col="wt", serr=True)
+    return m.select(
+        "state",
+        F.round("mean_time", R).alias("mean_time"),
+        F.round("var_time", R).alias("var_time"),
+        F.round("sd_time", R).alias("sd_time"),
+        F.round("se_time", R).alias("se_time"),
+    )
+
+
 def q_modal_sequence_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """seqmodst occurrence count (cross_sectional_indicators.py:180-192):
     per-position modal sequence + count of sequences matching its prefix of
@@ -560,6 +598,18 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    return pairs.select("d1", "d2", F.round("jaccard", R).alias("jaccard"))
+
+
+def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates re-scored with EXACT shingle Jaccard (≥0.8) — turns
+    the probabilistic MinHash path into an oracle-checkable statement: the
+    DuckDB side computes exact all-candidate Jaccard, so any LSH recall miss
+    at this SF surfaces as a row-count/hash mismatch."""
+    from sequenzo_spark.pipeline.dedup import minhash_verified_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_verified_pairs(docs, threshold=0.8)
     return pairs.select("d1", "d2", F.round("jaccard", R).alias("jaccard"))
 
 
@@ -659,6 +709,8 @@ QUERIES = {
     "transition_pwight": q_transition_pwight,
     "transition_counts_weighted": q_transition_counts_weighted,
     "gapfill_linear_minutely": q_gapfill_linear_minutely,
+    "state_dist_hourly_weighted": q_state_dist_hourly_weighted,
+    "mean_time_weighted": q_mean_time_weighted,
     "modal_sequence_occurrences": q_modal_sequence_occurrences,
     "event_counts_daily": q_event_counts_daily,
     "top_sequences": q_top_sequences,
@@ -667,6 +719,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "cosine_topk": q_cosine_topk,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "minhash_verified_pairs": q_minhash_verified_pairs,
     "simhash": q_simhash,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "ann_batch_topk": q_ann_batch_topk,
@@ -1204,6 +1257,49 @@ ORACLE_SQL = {
                round(count(DISTINCT s) * 1.0 / count(*), {R}) AS uniqueness_rate
         FROM t
     """,
+    "state_dist_hourly_weighted": f"""
+        WITH c AS (
+            SELECT date_trunc('hour', ts) AS time_bucket,
+                   event_type AS state, sum(value) AS sc
+            FROM events GROUP BY 1, 2
+        )
+        SELECT time_bucket, state,
+               round(sc, 6) AS state_count,
+               round(sum(sc) OVER (PARTITION BY time_bucket), 6) AS n_valid,
+               round(sc / sum(sc) OVER (PARTITION BY time_bucket), {R}) AS freq
+        FROM c
+    """,
+    "mean_time_weighted": f"""
+        WITH {_TURNS_CTE},
+        sw AS (
+            SELECT seq_id, CAST(seq_id % 3 + 1 AS DOUBLE) AS w
+            FROM (SELECT DISTINCT seq_id FROM turns)
+        ),
+        tot AS (SELECT sum(w) AS wtot, sum(w * w) AS w2tot FROM sw),
+        per AS (
+            SELECT t.seq_id, state, CAST(count(*) AS DOUBLE) AS c,
+                   any_value(w) AS w
+            FROM turns t JOIN sw USING (seq_id)
+            GROUP BY t.seq_id, state
+        ),
+        g AS (
+            SELECT state, sum(w * c) AS swc, sum(w * c * c) AS swc2
+            FROM per GROUP BY state
+        ),
+        v AS (
+            SELECT state, wtot,
+                   swc / wtot AS mean_time,
+                   (swc2 - 2 * (swc / wtot) * swc
+                    + (swc / wtot) * (swc / wtot) * wtot)
+                   * wtot / (wtot * wtot - w2tot) AS var_time
+            FROM g, tot
+        )
+        SELECT state, round(mean_time, {R}) AS mean_time,
+               round(var_time, {R}) AS var_time,
+               round(sqrt(var_time), {R}) AS sd_time,
+               round(sqrt(var_time / wtot), {R}) AS se_time
+        FROM v
+    """,
     "modal_sequence_occurrences": f"""
         WITH {_TURNS_CTE},
         byp AS (
@@ -1264,6 +1360,33 @@ ORACLE_SQL = {
         LIMIT 10
     """,
     "ngram_jaccard_pairs": f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN range(1, len(t) - 1)]) AS shingles
+            FROM toks WHERE len(t) >= 3
+        ),
+        ex AS (
+            SELECT doc_id, unnest(shingles) AS s, len(shingles) AS c FROM sh
+        ),
+        pairs AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+                   any_value(a.c) AS c1, any_value(b.c) AS c2
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d1, d2,
+               round(inter * 1.0 / (c1 + c2 - inter), {R}) AS jaccard
+        FROM pairs WHERE inter * 1.0 / (c1 + c2 - inter) >= 0.8
+    """,
+    "minhash_verified_pairs": f"""
+        -- exact all-candidate Jaccard at the same τ: identical to the
+        -- ngram_jaccard_pairs oracle (the Spark side only differs in HOW it
+        -- prunes the pair space — LSH banding — not in what survives τ).
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
             FROM documents WHERE length(trim(text)) > 0

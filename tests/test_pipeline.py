@@ -123,3 +123,55 @@ def test_batch_ann_matches_single_query_lsh(spark, emb):
                 emb.filter(F.col("vec_id") == qid).first()["embedding"]]
         single = [r.vec_id for r in lsh_cosine_topk(emb, qvec, k=5).collect()]
         assert [r["vec_id"] for r in rows] == single
+
+
+def test_minhash_signature_positions_vary_by_seed(spark):
+    """Regression (round-3): a two-parameter transform lambda let the array
+    index shadow the hash seed, making all 64 signature positions identical
+    per doc and position-dependent across docs. Distinct seeds must yield
+    distinct hash functions, and a high-overlap unaligned pair must match in
+    most positions."""
+    from sequenzo_spark.pipeline.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            # same 9-token tail, one extra leading token in doc 1: shingle
+            # arrays are unaligned but share most shingles
+            (1, "zzz a b c d e f g h i"),
+            (2, "a b c d e f g h i"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: list(r.signature) for r in minhash_signatures(docs).collect()}
+    # distinct hash functions: a single doc's 64 positions can't all be equal
+    assert len(set(sig[1])) > 1
+    # shared shingles dominate → most positions agree despite misalignment
+    agree = sum(1 for x, y in zip(sig[1], sig[2]) if x == y)
+    assert agree >= 40, agree
+
+
+def test_minhash_verified_pairs_equals_exact(spark):
+    """minhash_verified_pairs == ngram_jaccard_pairs on a corpus with an
+    UNALIGNED near-dup (prefix insertion), which the pre-fix LSH missed."""
+    from sequenzo_spark.pipeline.dedup import (
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "intro " + base),          # near-dup, shingles shifted
+            (3, "completely different words in this one about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.d1, r.d2) for r in minhash_verified_pairs(docs, threshold=0.7).collect()
+    }
+    want = {
+        (r.d1, r.d2)
+        for r in ngram_jaccard_pairs(docs, threshold=0.7, max_shingle_df=None).collect()
+    }
+    assert got == want and got == {(1, 2)}, (got, want)
