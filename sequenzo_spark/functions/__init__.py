@@ -11,6 +11,7 @@ from sequenzo_spark.functions.seqops import (
     seqshift,
     to_event_rows,
 )
+from sequenzo_spark.functions.multidomain import combine_domains
 from sequenzo_spark.functions.reshape import (
     long_to_wide,
     person_period,
@@ -33,6 +34,7 @@ __all__ = [
     "get_xtabs",
     "to_event_rows",
     "most_frequent_sequences",
+    "combine_domains",
     "wide_to_long",
     "long_to_wide",
     "person_period",

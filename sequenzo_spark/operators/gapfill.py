@@ -24,12 +24,29 @@ def densify(
     bucket_col: str = "time_bucket",
     step_seconds: int = 60,
     value_cols: list[str] | None = None,
+    max_ungrouped_buckets: int = 50_000_000,
 ) -> DataFrame:
     """Expand each key's series onto the dense bucket grid between its min and
-    max bucket; absent buckets appear with NULL values and is_gap=true."""
+    max bucket; absent buckets appear with NULL values and is_gap=true.
+
+    With ``key_cols=[]`` the grid (and the downstream fill windows) is one
+    un-partitioned series; a cheap min/max probe refuses grids above
+    ``max_ungrouped_buckets`` instead of silently planning one giant task
+    (see the scale contract in :func:`fill_gaps`)."""
     value_cols = value_cols or [
         c for c in df.columns if c not in key_cols + [bucket_col]
     ]
+    if not key_cols:
+        lo, hi = df.agg(F.min(bucket_col), F.max(bucket_col)).first()
+        if lo is not None:
+            n_buckets = int((hi - lo).total_seconds() // step_seconds) + 1
+            if n_buckets > max_ungrouped_buckets:
+                raise ValueError(
+                    f"ungrouped densify would build a {n_buckets:,}-bucket "
+                    f"single-series grid (> {max_ungrouped_buckets:,}); pass "
+                    "key_cols for a per-series fill, chunk the time range, "
+                    "or raise max_ungrouped_buckets explicitly"
+                )
     step = F.expr(f"INTERVAL {step_seconds} SECONDS")
     grid = (
         df.groupBy(*key_cols)
@@ -59,6 +76,17 @@ def fill_gaps(
     Linear: for a hole at t between anchors (t0,v0) and (t1,v1):
     v = v0 + (v1−v0) · (t−t0)/(t1−t0). Leading/trailing holes (no anchor on
     one side) fall back to the available anchor (equivalent to LOCF/NOCB).
+
+    Scale contract for ``key_cols=[]``: the fill windows are then
+    UN-PARTITIONED, so the whole grid lands in one task. This is safe by the
+    same cardinality argument as js_divergence_consecutive
+    (distributions.py:118-122): the grid size is bounded by the TIME RANGE /
+    step — e.g. a decade of minutes is ~5.3M rows — never by raw data
+    volume, because the input here is already one row per bucket. A
+    finer-than-minute global grid over decades should instead pass key_cols
+    (per-series fill) or chunk the range; as a guardrail, densify refuses a
+    single-series grid above ``max_ungrouped_buckets`` (default 50M) rather
+    than silently planning a week-long single task.
     """
     dense = densify(df, key_cols, bucket_col, step_seconds, value_cols)
     wb = (

@@ -180,6 +180,7 @@ def run_cascade(
     resume: bool = True,
     fail_after_batches: int | None = None,
     compress: bool = True,
+    encode_dates: list[str] | None = None,
 ) -> CascadeResult:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     _check_job_config(
@@ -334,10 +335,22 @@ def run_cascade(
         "state",
         refined_alphabet_col() if use_refined_alphabet else F.col(state_col),
     )
-    enc_dates = sorted(
-        r.part_date
-        for r in enc_src.select("part_date").distinct().collect()
-    )
+    if encode_dates is None:
+        # Batch list from ONE min/max-ts aggregate + driver-side calendar
+        # expansion — a columnar partial-agg pass (parquet footer stats serve
+        # it where available), NOT the previous distinct+shuffle over every
+        # row. With an Iceberg/partitioned source, pass ``encode_dates`` from
+        # partition metadata instead (the same zero-scan mechanism the tier
+        # stages use via _list_part_dates). Calendar days with no rows cost
+        # one empty no-op batch each.
+        import datetime as _dt
+
+        lo, hi = transcripts.agg(F.min("ts"), F.max("ts")).first()
+        d0, d1 = lo.date(), hi.date()
+        encode_dates = [
+            str(d0 + _dt.timedelta(days=i)) for i in range((d1 - d0).days + 1)
+        ]
+    enc_dates = sorted(str(x) for x in encode_dates)
     run_stage(
         "encode",
         enc_dates,

@@ -48,3 +48,21 @@ def test_linear_leading_trailing_fallback(spark):
     present = df.filter(F.col("v").isNotNull())
     f = fill_gaps(present, ["k"], ["v"], method="linear").orderBy("time_bucket")
     assert [r.v for r in f.collect()] == [5.0]  # single point, no holes
+
+
+def test_densify_ungrouped_grid_guardrail(spark):
+    """key_cols=[] plans an un-partitioned window; densify must refuse a
+    grid larger than max_ungrouped_buckets instead of silently planning one
+    giant task (round-2 VERDICT hygiene item)."""
+    import pytest as _pt
+
+    from sequenzo_spark.operators.gapfill import densify
+
+    df = spark.createDataFrame(
+        [("2020-01-01 00:00:00", 1.0), ("2020-03-01 00:00:00", 2.0)],
+        "tb_s string, v double",
+    ).select(F.to_timestamp("tb_s").alias("time_bucket"), "v")
+    with _pt.raises(ValueError, match="ungrouped densify"):
+        densify(df, key_cols=[], step_seconds=60, max_ungrouped_buckets=1000)
+    # generous cap → normal behavior
+    assert densify(df, key_cols=[], step_seconds=86400).count() == 61

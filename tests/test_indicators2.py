@@ -186,3 +186,40 @@ def test_turbulence_norm_maxlength1(spark):
         assert r["turbulence"] is not None and math.isfinite(r["turbulence"])
         # single spell, φ=2, s2=s2max=0 → T = log2(2) = 1
         assert r["turbulence"] == pytest.approx(1.0)
+
+
+def test_turbulence_golden_csv(spark):
+    """Exact parity against committed golden values (tests/golden/
+    turbulence_golden.csv) — mirrors the reference's R-parity fixture
+    pattern (tests/dissimilarity_measures/ref_*.csv). Values derived by
+    hand from the published seqST definition: T = log2(φ(DSS) ·
+    (s²max+1)/(s²+1)); var_type 2 uses the declared alphabet ('A','B' for
+    the 2-state rows, 'A','B','C' is type-1 only here).
+    φ: #distinct subsequences incl. empty — AB→4, ABA→7, A→2, ABAB→12,
+    ABC→8. Spell stats: e.g. ABBA durs [1,2,1] → s²=s²max=2/9 → T=log2 7."""
+    import csv
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "turbulence_golden.csv")
+    with open(path) as f:
+        golden = list(csv.DictReader(f))
+    by_vt = {}
+    for g in golden:
+        by_vt.setdefault(int(g["var_type"]), []).append(g)
+    for vt, rows_g in by_vt.items():
+        data = []
+        for i, g in enumerate(rows_g):
+            for p, s in enumerate(g["seq"].split("-")):
+                data.append((f"g{i}", p + 1, s))
+        df = spark.createDataFrame(data, "seq_id string, pos int, state string")
+        states = ["A", "B"] if vt == 2 else ["A", "B", "C"]
+        got = {
+            r.seq_id: r
+            for r in turbulence(df, var_type=vt, states=states if vt == 2 else None).collect()
+        }
+        for i, g in enumerate(rows_g):
+            r = got[f"g{i}"]
+            assert r["phi"] == pytest.approx(float(g["phi"]), abs=1e-9), (vt, g)
+            assert r["turbulence"] == pytest.approx(
+                float(g["turbulence"]), abs=1e-9
+            ), (vt, g)

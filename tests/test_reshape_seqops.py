@@ -163,3 +163,46 @@ def test_modal_sequence_occurrences_toy(spark):
     assert r["modal_seq"] == "A-B-B"
     assert r["n_matching"] == 2
     assert r["n_seqs"] == 3
+
+
+def test_combine_domains_two_domain_toy(spark):
+    """CombT label-merge toy (combt.py:55-70): work ⊗ family expanded
+    alphabet; inner keeps aligned positions, outer marks missing with '*'."""
+    from sequenzo_spark.functions.multidomain import combine_domains
+
+    work = spark.createDataFrame(
+        [("p1", 1, "emp"), ("p1", 2, "unemp"), ("p2", 1, "emp")],
+        "seq_id string, pos int, state string",
+    )
+    fam = spark.createDataFrame(
+        [("p1", 1, "single"), ("p1", 2, "married"), ("p2", 2, "single")],
+        "seq_id string, pos int, state string",
+    )
+    inner = {
+        (r.seq_id, r.pos): r.state
+        for r in combine_domains({"work": work, "family": fam}).collect()
+    }
+    assert inner == {("p1", 1): "emp+single", ("p1", 2): "unemp+married"}
+    outer = {
+        (r.seq_id, r.pos): r.state
+        for r in combine_domains({"work": work, "family": fam}, how="outer").collect()
+    }
+    assert outer[("p2", 1)] == "emp+*"
+    assert outer[("p2", 2)] == "*+single"
+    assert len(outer) == 4
+
+
+def test_combine_domains_single_shuffle_plan(spark):
+    """The N-1 joins all key on (seq_id, pos): after the first exchange per
+    input, no additional exchange may appear between the joins."""
+    from sequenzo_spark.functions.multidomain import combine_domains
+
+    a = spark.range(100).select(
+        F.col("id").alias("seq_id"), F.lit(1).alias("pos"),
+        F.lit("x").alias("state"))
+    b = a.select("seq_id", "pos", F.lit("y").alias("state"))
+    c = a.select("seq_id", "pos", F.lit("z").alias("state"))
+    df = combine_domains({"a": a, "b": b, "c": c})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one exchange per input at most (3), none between the two joins
+    assert plan.count("Exchange") <= 3, plan[:2000]
