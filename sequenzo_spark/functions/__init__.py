@@ -11,7 +11,7 @@ from sequenzo_spark.functions.seqops import (
     seqshift,
     to_event_rows,
 )
-from sequenzo_spark.functions.multidomain import combine_domains
+from sequenzo_spark.functions.multidomain import combine_domains, merge_sparse_types
 from sequenzo_spark.functions.reshape import (
     long_to_wide,
     person_period,
@@ -35,6 +35,7 @@ __all__ = [
     "to_event_rows",
     "most_frequent_sequences",
     "combine_domains",
+    "merge_sparse_types",
     "wide_to_long",
     "long_to_wide",
     "person_period",

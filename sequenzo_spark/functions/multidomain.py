@@ -57,3 +57,39 @@ def combine_domains(
         F.coalesce(F.col(f"state_{n}"), F.lit("*")) for n in names
     ]
     return out.withColumn("state", F.concat_ws(sep, *parts))
+
+
+def merge_sparse_types(
+    df: DataFrame,
+    label_col: str = "state",
+    min_size: int = 30,
+    other_label: str = "Others",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Distance-free recast of merge_sparse_combt_types (multidomain/
+    combt.py:220-330): relabel combined types whose (weighted) support falls
+    below ``min_size`` to ``other_label``.
+
+    The reference merges each sparse type into its silhouette-best NEIGHBOR
+    cluster, which requires the full pairwise distance matrix — the SURVEY
+    §2.9 exclusion (O(n²) at 10¹² rows). The support-threshold relabel is
+    the part of the algorithm that survives engine scale: one count
+    aggregation over the label column (tiny — bounded by the expanded
+    alphabet size, not row count) broadcast back onto the rows.
+    Output: input columns with ``label_col`` rewritten."""
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    sparse = (
+        df.groupBy(F.col(label_col).alias("_lbl"))
+        .agg(F.sum(w).alias("_n"))
+        .filter(F.col("_n") < min_size)
+        .select("_lbl")
+    )
+    out = df.join(
+        F.broadcast(sparse), df[label_col] == sparse["_lbl"], "left"
+    )
+    return out.withColumn(
+        label_col,
+        F.when(F.col("_lbl").isNotNull(), F.lit(other_label)).otherwise(
+            F.col(label_col)
+        ),
+    ).drop("_lbl")

@@ -8,6 +8,7 @@ from sequenzo_spark.operators.transitions import (
 from sequenzo_spark.operators.distributions import (
     cross_sectional_distribution,
     cross_sectional_entropy,
+    flag_top_states,
     js_divergence_consecutive,
     modal_sequence_occurrences,
     modal_state,
@@ -34,6 +35,7 @@ __all__ = [
     "transition_pwight",
     "cross_sectional_distribution",
     "cross_sectional_entropy",
+    "flag_top_states",
     "js_divergence_consecutive",
     "modal_state",
     "modal_sequence_occurrences",

@@ -200,3 +200,10 @@ def modal_sequence_occurrences(
         F.sum(match.cast("long")).alias("n_matching"),
         F.count(F.lit(1)).alias("n_seqs"),
     )
+
+
+def flag_top_states(dist: DataFrame, k: int = 3) -> DataFrame:
+    """is_top marker for the k dominant states per bucket (reference
+    add_topk flags, overall_cross_sectional_entropy.py:139-143) — derived
+    from the freq_rank column of :func:`cross_sectional_distribution`."""
+    return dist.withColumn("is_top", F.col("freq_rank") <= k)

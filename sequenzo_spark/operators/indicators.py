@@ -353,6 +353,7 @@ def turbulence(
     var_type: int = 1,
     norm: bool = False,
     states: list | None = None,
+    max_length: int | None = None,
 ) -> DataFrame:
     """Per-sequence turbulence T = log2(φ · (s²max+1)/(s²+1)),
     s² / s²max from seqivardur ``var_type`` 1 or 2 (turbulence.py:22-28, :73-76;
@@ -368,7 +369,14 @@ def turbulence(
     driver-side and its spell variance is closed-form (all spells length 1),
     so normalization costs one tiny aggregate, not a second engine pass.
     T_norm = (T−1)/(maxT−1), clamped to 0 where T < 1 (:141-143).
-    ``norm`` requires ``states`` (the declared alphabet)."""
+    ``norm`` requires ``states`` (the declared alphabet).
+
+    ``max_length``: the longest sequence length, needed only for ``norm``.
+    When None it is probed with a scalar aggregate over the spell pipeline —
+    which at 100 TB evaluates that pipeline twice (once for the probe, once
+    for the result). Pass it explicitly when known (e.g. a bounded
+    conversation length or a stored tier statistic) to keep norm single-pass.
+    """
     from sequenzo_spark import ensure_workers_can_import
 
     if var_type not in (1, 2):
@@ -419,7 +427,7 @@ def turbulence(
         F.log2(F.col("phi") * (s2max + 1.0) / (s2 + 1.0)),
     )
     if norm:
-        maxlength = out.agg(F.max("_len")).first()[0] or 1
+        maxlength = max_length or out.agg(F.max("_len")).first()[0] or 1
         k = len(states)
         nrep = -(-int(maxlength) // k)
         synth = (list(states) * nrep)[: int(maxlength)]

@@ -206,3 +206,28 @@ def test_combine_domains_single_shuffle_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # one exchange per input at most (3), none between the two joins
     assert plan.count("Exchange") <= 3, plan[:2000]
+
+
+def test_merge_sparse_types(spark):
+    """Support-threshold relabel (distance-free recast of
+    merge_sparse_combt_types, combt.py:220): labels under min_size → Others."""
+    from sequenzo_spark.functions.multidomain import merge_sparse_types
+
+    rows = [("a+x",)] * 5 + [("b+y",)] * 2 + [("c+z",)] * 1
+    df = spark.createDataFrame(rows, "state string")
+    got = merge_sparse_types(df, min_size=3).groupBy("state").count().collect()
+    d = {r.state: r["count"] for r in got}
+    assert d == {"a+x": 5, "Others": 3}
+
+
+def test_flag_top_states(spark):
+    from sequenzo_spark.operators.distributions import (
+        cross_sectional_distribution,
+        flag_top_states,
+    )
+
+    rows = [(1, "A"), (1, "A"), (1, "B"), (1, "C")]
+    df = spark.createDataFrame(rows, "time_bucket int, state string")
+    dist = flag_top_states(cross_sectional_distribution(df, "time_bucket", "state"), k=2)
+    d = {r.state: r.is_top for r in dist.collect()}
+    assert d == {"A": True, "B": True, "C": False}
