@@ -287,9 +287,8 @@ def minhash_verified_pairs(
     trades candidate-join fan-out, never the answer. This makes the
     probabilistic path ORACLE-CHECKABLE against the exact all-candidate SQL
     (the driver gate records any deterministic miss as a hash mismatch)."""
-    cand = minhash_lsh_candidates(
-        docs, n_hashes, bands, n, text_col, id_col
-    ).select("d1", "d2")
+    raw_cand = minhash_lsh_candidates(docs, n_hashes, bands, n, text_col, id_col)
+    cand = raw_cand.select("d1", "d2")
     sh = (
         _spread(docs)
         .select(F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh"))
@@ -304,6 +303,9 @@ def minhash_verified_pairs(
     jac = inter.cast("double") / (
         F.size("sh1") + F.size("sh2") - inter
     ).cast("double")
-    return j.select("d1", "d2", jac.alias("jaccard")).filter(
+    result = j.select("d1", "d2", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+    # propagate the signature-cache release handle (see minhash_lsh_candidates)
+    result._sig_cache = raw_cand._sig_cache
+    return result
