@@ -589,6 +589,40 @@ def q_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return most_frequent_sequences(turns, k=10)
 
 
+def q_domain_combine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidomain expanded-alphabet combine (combine_domains; CombT label
+    merge, combt.py:55-70): event-type domain ⊗ value-band domain aligned on
+    (seq_id, pos), counted per combined state."""
+    from sequenzo_spark.functions.multidomain import combine_domains
+
+    turns = _event_turns(spark, sf_dir)
+    d1 = turns.select("seq_id", "pos", "state")
+    d2 = turns.select(
+        "seq_id",
+        "pos",
+        F.when(F.col("value") >= 100, F.lit("hi")).otherwise(F.lit("lo")).alias("state"),
+    )
+    comb = combine_domains({"event": d1, "band": d2})
+    return comb.groupBy("state").agg(F.count(F.lit(1)).alias("n_positions"))
+
+
+def q_sparse_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_sparse_types over whole-sequence patterns: patterns with support
+    < 5 relabeled 'Others' (distance-free recast of merge_sparse_combt_types,
+    combt.py:220), then counted."""
+    from sequenzo_spark.functions.multidomain import merge_sparse_types
+
+    turns = _event_turns(spark, sf_dir)
+    arr = F.array_sort(F.collect_list(F.struct("pos", "state")))
+    pats = turns.groupBy("seq_id").agg(
+        F.array_join(F.transform(arr, lambda s: s["state"]), "-").alias("state")
+    )
+    merged = merge_sparse_types(pats, min_size=5)
+    return merged.groupBy(F.col("state").alias("pattern")).agg(
+        F.count(F.lit(1)).alias("n_seqs")
+    )
+
+
 # ------------------------------------------- training-data pipeline queries
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,6 +748,8 @@ QUERIES = {
     "modal_sequence_occurrences": q_modal_sequence_occurrences,
     "event_counts_daily": q_event_counts_daily,
     "top_sequences": q_top_sequences,
+    "domain_combine_counts": q_domain_combine_counts,
+    "sparse_pattern_counts": q_sparse_pattern_counts,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "quality_metrics": q_quality_metrics,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1358,6 +1394,35 @@ ORACLE_SQL = {
         FROM s GROUP BY seq_str
         ORDER BY n_seqs DESC, seq_str ASC
         LIMIT 10
+    """,
+    "domain_combine_counts": """
+        WITH turns AS (
+            SELECT user_id AS seq_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+                   event_type AS state, value
+            FROM events
+        )
+        SELECT state || '+' || CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END
+                   AS state,
+               count(*) AS n_positions
+        FROM turns GROUP BY 1
+    """,
+    "sparse_pattern_counts": """
+        WITH turns AS (
+            SELECT user_id AS seq_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+                   event_type AS state
+            FROM events
+        ),
+        pats AS (
+            SELECT seq_id, string_agg(state, '-' ORDER BY pos) AS s
+            FROM turns GROUP BY seq_id
+        ),
+        counts AS (SELECT s, count(*) AS n FROM pats GROUP BY s)
+        SELECT CASE WHEN c.n < 5 THEN 'Others' ELSE p.s END AS pattern,
+               count(*) AS n_seqs
+        FROM pats p JOIN counts c USING (s)
+        GROUP BY 1
     """,
     "ngram_jaccard_pairs": f"""
         WITH toks AS (

@@ -114,3 +114,25 @@ def test_top_sequences_uses_take_ordered(spark):
 
     plan = _plan(QUERIES["top_sequences"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_modal_sequence_broadcasts_modal_array(spark):
+    """The one-row modal array must reach the per-sequence side as a
+    broadcast (BroadcastNestedLoopJoin on a single-row build side), never a
+    shuffled CartesianProduct over the sequence table."""
+    from sequenzo_spark.driver_queries import QUERIES
+
+    plan = _plan(QUERIES["modal_sequence_occurrences"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Broadcast" in plan, plan[:2000]
+
+
+def test_domain_combine_single_shuffle_per_input(spark):
+    """combine_domains joins N inputs on one (seq_id, pos) key: at most one
+    exchange per input, none between the joins."""
+    from sequenzo_spark.driver_queries import QUERIES
+
+    plan = _plan(QUERIES["domain_combine_counts"](spark, SF_DIR))
+    # 2 domain inputs + 1 aggregation exchange is the ceiling; window pos
+    # derivation shares the seq_id partitioning
+    assert plan.count("Exchange") <= 4, plan[:2500]
