@@ -61,6 +61,12 @@ def run_queries() -> dict[str, float]:
             per_run.append(round(time.time() - t0, 3))
         cold[name] = per_run[0]
         times[name] = min(per_run)
+        # Release any MinHash signature table the query persisted: without
+        # this the 2×N-query session accumulates persisted tables (round-3
+        # advisor finding).
+        from sequenzo_spark.pipeline.dedup import release_sig_caches
+
+        release_sig_caches()
     spark.stop()
     return times, cold
 

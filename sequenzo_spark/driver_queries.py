@@ -640,8 +640,9 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probabilistic MinHash path into an oracle-checkable statement: the
     DuckDB side computes exact all-candidate Jaccard, so any LSH recall miss
     at this SF surfaces as a row-count/hash mismatch."""
-    from sequenzo_spark.pipeline.dedup import minhash_verified_pairs
+    from sequenzo_spark.pipeline.dedup import minhash_verified_pairs, release_sig_caches
 
+    release_sig_caches()  # drop any signature table a previous query persisted
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_verified_pairs(docs, threshold=0.8)
     return pairs.select("d1", "d2", F.round("jaccard", R).alias("jaccard"))
@@ -672,8 +673,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup candidates — probabilistic, so
     rows-only driver check; recall/precision asserted in unit tests."""
-    from sequenzo_spark.pipeline.dedup import minhash_lsh_candidates
+    from sequenzo_spark.pipeline.dedup import minhash_lsh_candidates, release_sig_caches
 
+    release_sig_caches()  # drop any signature table a previous query persisted
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs).filter(F.col("jaccard_est") >= 0.5)
 
@@ -811,7 +813,7 @@ ORACLE_SQL = {
                    sum(state_count) OVER (PARTITION BY time_bucket) AS n_valid
             FROM c
         ),
-        k AS (SELECT CAST(count(DISTINCT event_type) AS DOUBLE) AS kk FROM events)
+        k AS (SELECT CAST({len(EVENT_STATES)} AS DOUBLE) AS kk)  -- declared alphabet K, same constant as the Spark side
         SELECT time_bucket,
                any_value(n_valid) AS n_valid,
                round(-sum((state_count / n_valid) * ln(state_count / n_valid)), {R}) AS entropy,
@@ -901,7 +903,7 @@ ORACLE_SQL = {
     """,
     "seq_indicators": f"""
         WITH {_SPELLS_CTE},
-        k AS (SELECT CAST(count(DISTINCT event_type) AS DOUBLE) AS kk FROM events),
+        k AS (SELECT CAST({len(EVENT_STATES)} AS DOUBLE) AS kk),  -- declared alphabet K, same constant as the Spark side
         base AS (
             SELECT seq_id, count(*) AS length,
                    CAST(count(DISTINCT state) AS BIGINT) AS visited
@@ -1034,7 +1036,7 @@ ORACLE_SQL = {
     """,
     "spell_dur_var2": f"""
         WITH {_SPELLS_CTE},
-        k AS (SELECT CAST(count(DISTINCT event_type) AS DOUBLE) AS kk FROM events),
+        k AS (SELECT CAST({len(EVENT_STATES)} AS DOUBLE) AS kk),  -- declared alphabet K, same constant as the Spark side
         g AS (
             SELECT seq_id, count(*) AS n_spells,
                    CAST(sum(duration) AS BIGINT) AS len,

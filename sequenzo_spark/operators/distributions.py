@@ -117,16 +117,49 @@ def js_divergence_consecutive(
     distribution is packed into a sorted state→freq map (one row per bucket),
     lag-shifted over the bucket order, and the divergence folded as an
     expression over the sorted union of state keys — deterministic fold
-    order, zero UDFs. The un-partitioned lag window is safe: its input
-    cardinality is the number of TIME BUCKETS (one row each), not data rows,
-    so even 100 TB of raw data feeds it only hours/days worth of rows."""
+    order, zero UDFs.
+
+    The lag window is PARTITIONED BY YEAR with boundary stitching: at
+    hour/day granularity an un-partitioned window is harmless, but at
+    1-minute buckets over multi-year inputs it would funnel millions of map
+    rows through one task. Each year lags internally; the first bucket of a
+    year takes its predecessor from a tiny per-year boundary frame (one row
+    per year — the year's last bucket), linked to the NEXT EXISTING year via
+    a lead over that frame, so calendar gaps between years stitch correctly.
+    The only un-partitioned window runs over the boundary frame itself
+    (#years rows)."""
     per = dist.groupBy(F.col(bucket_col).alias("time_bucket")).agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("state", "freq")))
         ).alias("_p")
     )
-    w = Window.orderBy("time_bucket")
+    bucket_type = dict(per.dtypes)["time_bucket"]
+    per = per.withColumn(
+        "_yr",
+        # Non-temporal bucket keys (toy integer grids) keep the legacy single
+        # partition — the scale concern is minute TIMESTAMP buckets.
+        F.year("time_bucket")
+        if bucket_type in ("timestamp", "timestamp_ntz", "date")
+        else F.lit(0),
+    )
+    w = Window.partitionBy("_yr").orderBy("time_bucket")
     per = per.withColumn("_q", F.lag("_p").over(w))
+    # Boundary frame: last bucket per year, fed to the next existing year.
+    wy = Window.partitionBy("_yr").orderBy(F.desc("time_bucket"))
+    last_rows = (
+        per.withColumn("_rn", F.row_number().over(wy))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_yr").alias("_byr"), F.col("_p").alias("_bp"))
+    )
+    wb = Window.orderBy("_byr")  # #years rows — un-partitioned is fine here
+    feed = (
+        last_rows.withColumn("_tyr", F.lead("_byr").over(wb))
+        .filter(F.col("_tyr").isNotNull())
+        .select(F.col("_tyr").alias("_yr"), F.col("_bp").alias("_prev_p"))
+    )
+    per = per.join(F.broadcast(feed), "_yr", "left").withColumn(
+        "_q", F.coalesce(F.col("_q"), F.col("_prev_p"))
+    )
     keys = F.array_sort(
         F.array_union(
             F.map_keys("_p"), F.map_keys(F.coalesce(F.col("_q"), F.col("_p")))

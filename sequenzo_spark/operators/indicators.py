@@ -427,7 +427,23 @@ def turbulence(
         F.log2(F.col("phi") * (s2max + 1.0) / (s2 + 1.0)),
     )
     if norm:
-        maxlength = max_length or out.agg(F.max("_len")).first()[0] or 1
+        # `max_length` is trusted as the TRUE max sequence length: the
+        # normalizing max-turbulence is computed from a synthetic sequence of
+        # exactly that length, so a smaller value silently yields norm-T > 1
+        # (the reference likewise trusts its seqdata dimensions,
+        # turbulence.py:40-47). Validate what we can cheaply: an explicit 0 or
+        # negative is a caller bug, not "unset" (`is None` is the unset test —
+        # `or` would swallow 0).
+        if max_length is not None and int(max_length) < 1:
+            raise ValueError(
+                f"max_length must be >= 1 (and >= the actual max sequence "
+                f"length); got {max_length}"
+            )
+        maxlength = (
+            int(max_length)
+            if max_length is not None
+            else (out.agg(F.max("_len")).first()[0] or 1)
+        )
         k = len(states)
         nrep = -(-int(maxlength) // k)
         synth = (list(states) * nrep)[: int(maxlength)]

@@ -21,6 +21,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Persisted MinHash signature tables currently alive. A caller-side
+# transformation on the result DataFrame silently drops a monkey-patched
+# attribute (the round-3 advisor finding), so the authoritative release
+# mechanism is this module-level registry + :func:`release_sig_caches`;
+# driver-query wrappers call it before building a new plan, bounding the
+# session to one live signature cache at a time. The `_sig_cache` attribute
+# on results is kept as a convenience handle only.
+_LIVE_SIG_CACHES: list[DataFrame] = []
+
+
+def release_sig_caches() -> int:
+    """Unpersist every signature table persisted by
+    :func:`minhash_lsh_candidates` since the last release. Returns the number
+    released. Safe to call at any time: plans that still reference a released
+    table simply recompute it."""
+    n = 0
+    while _LIVE_SIG_CACHES:
+        try:
+            _LIVE_SIG_CACHES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def tokens_col(text_col: str = "text") -> F.Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
@@ -178,6 +202,7 @@ def minhash_lsh_candidates(
     # then one re-attach per pair side). At cluster scale this is the
     # materialized signature table.
     sig = minhash_signatures(docs, n_hashes, n, text_col, id_col).persist()
+    _LIVE_SIG_CACHES.append(sig)
     # Band join carries ONLY (doc_id, band, bucket) through the shuffle —
     # never the 64-long signatures (signature payload on both sides of a
     # skewed self-join was the round-1 perf finding).

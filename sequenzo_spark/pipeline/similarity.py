@@ -152,6 +152,7 @@ def lsh_cosine_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Batch ANN — the 100 TB shape: MANY query vectors at once via a
     bucket EQUI-JOIN instead of one filter scan per query.
@@ -163,9 +164,14 @@ def lsh_cosine_topk_batch(
     per partition, no global sort). The query side is broadcast when small —
     at web scale both sides are plain shuffles keyed by (table, bucket).
 
+    Pass ``dim`` (the embedding dimensionality) to keep plan construction
+    fully lazy; when omitted, it is probed with a driver-side ``first()``
+    action (one extra Spark job per call).
+
     Output: query_id, vec_id, cosine, rank (1..k per query).
     """
-    dim = len(queries.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
     tables_planes = [
         [_hyperplane(dim, t * n_planes + i, seed) for i in range(n_planes)]
         for t in range(n_tables)

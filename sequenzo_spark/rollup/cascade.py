@@ -346,10 +346,16 @@ def run_cascade(
         import datetime as _dt
 
         lo, hi = transcripts.agg(F.min("ts"), F.max("ts")).first()
-        d0, d1 = lo.date(), hi.date()
-        encode_dates = [
-            str(d0 + _dt.timedelta(days=i)) for i in range((d1 - d0).days + 1)
-        ]
+        if lo is None:
+            # Empty input: min/max aggregate returns (None, None); run zero
+            # encode batches (the previous distinct-collect path degraded the
+            # same way) instead of raising on None.date().
+            encode_dates = []
+        else:
+            d0, d1 = lo.date(), hi.date()
+            encode_dates = [
+                str(d0 + _dt.timedelta(days=i)) for i in range((d1 - d0).days + 1)
+            ]
     enc_dates = sorted(str(x) for x in encode_dates)
     run_stage(
         "encode",
@@ -363,6 +369,20 @@ def run_cascade(
         .cast("string")
         .isin([str(x) for x in b]),
     )
+
+    if not enc_dates:
+        # Empty input (or an explicit empty encode_dates): nothing was
+        # written, so there is no encode/ directory for the tier stages to
+        # read. Record the downstream stages as run-with-zero-rows.
+        for stage in ["rollup_1m", "rollup_1h", "rollup_1d"] + (
+            ["gorilla"] if compress else []
+        ):
+            res.stages_run.append(stage)
+            res.partitions_skipped[stage] = 0
+            res.partitions_done[stage] = 0
+            res.rows_out[stage] = 0
+            res.wall_ms[stage] = 0
+        return res
 
     # ---- stage: rollup_1m — batched by conv_bucket (full conv context) ---
     encoded = spark.read.parquet(f"{out_root}/encode")

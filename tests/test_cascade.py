@@ -148,3 +148,15 @@ def test_kill_and_resume_identical_output(spark, raw, tmp_path):
     assert {r.stage for r in rows} == {
         "encode", "rollup_1m", "rollup_1h", "rollup_1d", "gorilla",
     }
+
+
+def test_cascade_empty_input(spark, raw, tmp_path):
+    """Empty transcripts: the min/max-ts encode-batch derivation returns
+    (None, None) — the cascade must run zero encode batches (and zero rows
+    everywhere downstream), not raise on None.date()."""
+    out = str(tmp_path / "cascade_empty")
+    empty = raw.filter("1 = 0")
+    res = run_cascade(
+        spark, empty, out, states=ROLE_ALPHABET, salt_buckets=SALT, job_id="je"
+    )
+    assert all(v == 0 for v in res.rows_out.values())

@@ -223,3 +223,45 @@ def test_turbulence_golden_csv(spark):
             assert r["turbulence"] == pytest.approx(
                 float(g["turbulence"]), abs=1e-9
             ), (vt, g)
+
+
+def test_js_divergence_year_boundary_stitch(spark):
+    """The lag window is partitioned by year; the first bucket of a year must
+    still see the PREVIOUS year's last bucket (even across a missing calendar
+    year) — identical jsd values to a single global ordering."""
+    import datetime as dt
+
+    rows = []
+    # 2021-12-31: A,B | 2022-01-01: A,A | 2024-01-01 (2023 missing): B,B
+    for ts, states in [
+        (dt.datetime(2021, 12, 31), ["A", "B"]),
+        (dt.datetime(2022, 1, 1), ["A", "A"]),
+        (dt.datetime(2024, 1, 1), ["B", "B"]),
+    ]:
+        rows += [(ts, s) for s in states]
+    df = spark.createDataFrame(rows, "time_bucket timestamp, state string")
+    dist = cross_sectional_distribution(df, "time_bucket", "state")
+    got = {
+        r["time_bucket"]: r["jsd"]
+        for r in js_divergence_consecutive(dist).collect()
+    }
+    assert got[dt.datetime(2021, 12, 31)] == 0.0
+    # 2022 bucket vs 2021 bucket: P=(A:1.0), Q=(A:.5,B:.5)
+    div = 0.5 * (1.0 * math.log(1.0 / 0.75)) + 0.5 * (
+        0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    )
+    assert got[dt.datetime(2022, 1, 1)] == pytest.approx(math.sqrt(div))
+    # 2024 bucket vs 2022 bucket (2023 absent): P=(B:1.0), Q=(A:1.0) → max JSD
+    assert got[dt.datetime(2024, 1, 1)] == pytest.approx(math.sqrt(math.log(2.0)))
+
+
+def test_turbulence_norm_max_length_validation(spark):
+    """An explicit max_length of 0 (or negative) is a caller bug, not
+    'unset': it must raise instead of silently normalizing against a
+    zero-length synthetic sequence (round-3 advisor)."""
+    rows = [("s1", 0, "A"), ("s1", 1, "B")]
+    df = spark.createDataFrame(rows, "seq_id string, pos int, state string")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="max_length"):
+            turbulence(df, var_type=1, norm=True, states=["A", "B"],
+                       max_length=bad)
