@@ -681,11 +681,14 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints — hash function differs across engines,
-    rows-only driver check."""
-    from sequenzo_spark.pipeline.dedup import simhash64
+    """64-bit SimHash fingerprints, engine-portable md5 token hash (hi/lo
+    packed as two non-negative longs) — value-for-value ORACLE-CHECKED
+    against DuckDB's identical md5/hex/bit arithmetic. The xxhash64-hashed
+    production variant (`simhash64`) shares the same shuffle-free per-row
+    fold and is unit-tested for bit-identity of the fold itself."""
+    from sequenzo_spark.pipeline.dedup import simhash64_hilo
 
-    return simhash64(_t(spark, sf_dir, "documents"))
+    return simhash64_hilo(_t(spark, sf_dir, "documents"))
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,6 +790,46 @@ spells AS (
     SELECT seq_id, spell_id, min(state) AS state, count(*) AS duration
     FROM grouped GROUP BY seq_id, spell_id
 )"""
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB SimHash oracle, generated: 64 per-bit conditional sums over
+    the md5-hashed token multiset, then majority-bit packing into the same
+    (simhash_hi, simhash_lo) non-negative longs as simhash64_hilo."""
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    lo_terms = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    hi_terms = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << (b - 32)} ELSE 0 END"
+        for b in range(32, 64)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+            FROM toks
+        ),
+        c AS (
+            SELECT doc_id,
+               {bit_sums}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST({hi_terms} AS BIGINT) AS simhash_hi,
+               CAST({lo_terms} AS BIGINT) AS simhash_lo
+        FROM c
+    """
+
 
 ORACLE_SQL = {
     "state_dist_hourly": f"""
@@ -1502,6 +1545,7 @@ ORACLE_SQL = {
                           * 1.0 / length(text) END, {R}) AS alpha_ratio
         FROM base
     """,
+    "simhash": _simhash_oracle_sql(),
     "doc_fingerprint": """
         SELECT doc_id,
                md5(array_to_string(list_sort(list_distinct(

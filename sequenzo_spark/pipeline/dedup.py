@@ -261,33 +261,143 @@ def minhash_lsh_candidates(
     return result
 
 
+def _simhash_counts(hashes: F.Column, tok_bits) -> F.Column:
+    """Fold an array of per-token hash values into the 64 SimHash bit
+    counters (+1 per set bit, −1 per clear bit) — a single per-row
+    ``aggregate``/``zip_with`` expression. ``tok_bits(h)`` must return the
+    64-element ±1 array for one token hash."""
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    return F.aggregate(
+        hashes, zero, lambda acc, h: F.zip_with(acc, tok_bits(h), lambda a, x: a + x)
+    )
+
+
+def _pack_bits(counts: F.Column, lo_bit: int, n_bits: int) -> F.Column:
+    """Assemble ``n_bits`` majority bits (count > 0) starting at ``lo_bit``
+    into a non-negative long: Σ 2^i over set bits. 2^i is exact as a double
+    for any i ≤ 62, so the pow→long cast is lossless."""
+    pairs = F.zip_with(
+        F.slice(counts, lo_bit + 1, n_bits),
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda c, b: F.struct(c.alias("c"), b.alias("b")),
+    )
+    return F.aggregate(
+        pairs,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(
+            s["c"] > 0, F.pow(F.lit(2.0), s["b"].cast("double")).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash of the token multiset: bit b of the fingerprint is the
-    majority sign over tokens of bit b of xxhash64(token). Expressed as 64
-    conditional-sum aggregates over exploded tokens — JVM-side."""
+    majority sign over tokens of bit b of xxhash64(token).
+
+    Round-4 reshape: SimHash is per-document, so it is computed as ONE
+    per-row fold (token-hash array → ``aggregate``/``zip_with`` bit
+    counters → packed fingerprint) with NO explode, NO groupBy, NO shuffle —
+    the previous 64-conditional-sum aggregate shuffled every token row and
+    was the round-3 bench regression suspect. Fingerprint bit values are
+    unchanged (the signed xxhash64 is split into non-negative 32-bit halves
+    with literal shifts; arithmetic-shift sign fill is masked off).
+
+    Empty/whitespace text tokenizes to the single empty-string token (what
+    ``split`` produces), matching the previous explode semantics row-for-row;
+    NULL text drops the row (as explode did)."""
     docs = _spread(docs)
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
-    sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    agg = tok.groupBy("doc_id").agg(*sums)
-    fp = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    toks = tokens_col(text_col)
+    # one xxhash64 per token, materialized in the hash array (not once per
+    # bit): fold input is array<struct<hi,lo>> of the two non-negative
+    # 32-bit halves
+    halves = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.shiftright(F.xxhash64(t), 32)
+            .bitwiseAND(F.lit(0xFFFFFFFF))
+            .alias("hi"),
+            F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)).alias("lo"),
+        ),
+    )
+
+    def bits(h):
+        lo, hi = h["lo"], h["hi"]
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(lo if b < 32 else hi, b % 32).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for b in range(64)
+            ]
         )
-        term = F.shiftleft(bit, b)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return agg.select("doc_id", fp.alias("simhash"))
+
+    counts = _simhash_counts(halves, bits)
+    out = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), counts.alias("_c")
+    )
+    # pack bits 0..62 as Σ2^b; bit 63 is the long sign bit (add LONG_MIN)
+    fp = _pack_bits(F.col("_c"), 0, 63) + F.when(
+        F.element_at("_c", 64) > 0, F.lit(-9223372036854775808)
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select("doc_id", fp.alias("simhash"))
+
+
+def simhash64_hilo(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Engine-portable SimHash: per-token hash = md5(token) split into two
+    32-bit halves (hex chars 1-8 → high, 9-16 → low), fingerprint returned
+    as two non-negative longs (simhash_hi, simhash_lo).
+
+    md5 and hex→int conversion exist verbatim in DuckDB, so this variant is
+    ORACLE-CHECKABLE value-for-value (CORRECTNESS gate) — xxhash64 is
+    Spark-only, which is why :func:`simhash64` could previously only get a
+    rows-only check. Same shuffle-free per-row fold as :func:`simhash64`."""
+    docs = _spread(docs)
+    toks = tokens_col(text_col)
+    halves = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hi"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+            .cast("long")
+            .alias("lo"),
+        ),
+    )
+
+    def bits(h):
+        lo, hi = h["lo"], h["hi"]
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(lo if b < 32 else hi, b % 32).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for b in range(64)
+            ]
+        )
+
+    counts = _simhash_counts(halves, bits)
+    out = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), counts.alias("_c")
+    )
+    return out.select(
+        "doc_id",
+        _pack_bits(F.col("_c"), 32, 32).alias("simhash_hi"),
+        _pack_bits(F.col("_c"), 0, 32).alias("simhash_lo"),
+    )
 
 
 def minhash_verified_pairs(

@@ -175,3 +175,37 @@ def test_minhash_verified_pairs_equals_exact(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.7, max_shingle_df=None).collect()
     }
     assert got == want and got == {(1, 2)}, (got, want)
+
+
+def test_simhash_hilo_matches_python_md5_reference(spark):
+    """simhash64_hilo's per-row fold (shared with simhash64) must reproduce
+    the definition exactly: md5 token hash split into 32-bit halves, ±1 bit
+    counts over the token MULTISET, majority packing. Pure-Python oracle."""
+    import hashlib
+    import re
+
+    from sequenzo_spark.pipeline.dedup import simhash64_hilo
+
+    texts = [
+        ("a", "the quick brown fox the quick"),
+        ("b", "  spaced   out   tokens "),
+        ("c", "single"),
+        ("d", ""),  # empty text → single empty-string token (split semantics)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    got = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+           for r in simhash64_hilo(docs).collect()}
+    for doc_id, text in texts:
+        toks = re.split(r"\s+", text.strip())
+        counts = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            hi, lo = int(h[:8], 16), int(h[8:16], 16)
+            for b in range(64):
+                bit = (lo >> b) & 1 if b < 32 else (hi >> (b - 32)) & 1
+                counts[b] += 1 if bit else -1
+        want = (
+            sum(1 << (b - 32) for b in range(32, 64) if counts[b] > 0),
+            sum(1 << b for b in range(32) if counts[b] > 0),
+        )
+        assert got[doc_id] == want, doc_id
