@@ -692,8 +692,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-10 — approximate, rows-only driver check;
-    agreement with brute force asserted in unit tests."""
+    """Sign-LSH bucketed ANN top-10 — ORACLE-CHECKED: the seeded hyperplanes
+    are embedded as literals in the DuckDB oracle, which recomputes every
+    bucket with identical float arithmetic and takes the exact top-k within
+    the same candidate set (see _lsh_topk_oracle_sql)."""
     from sequenzo_spark.pipeline.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -704,15 +706,16 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN: top-5 neighbors for 8 query vectors at once via the
-    (table, bucket) equi-join — approximate, rows-only driver check;
-    recall vs brute force asserted in unit tests."""
+    (table, bucket) equi-join — ORACLE-CHECKED against the embedded-
+    hyperplane DuckDB oracle (see _ann_batch_oracle_sql); recall vs brute
+    force additionally asserted in unit tests."""
     from sequenzo_spark.pipeline.similarity import lsh_cosine_topk_batch
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    top = lsh_cosine_topk_batch(emb, queries, k=5)
+    top = lsh_cosine_topk_batch(emb, queries, k=5, dim=_EMB_DIM)
     return top.select(
         "query_id", "vec_id", F.round("cosine", R).alias("cosine"), "rank"
     )
@@ -790,6 +793,144 @@ spells AS (
     SELECT seq_id, spell_id, min(state) AS state, count(*) AS duration
     FROM grouped GROUP BY seq_id, spell_id
 )"""
+
+def _sql_double(x: float) -> str:
+    """A DuckDB literal that parses as DOUBLE (not DECIMAL): exponent-form
+    literals are typed DOUBLE, and repr() round-trips the exact value."""
+    lit = repr(float(x))
+    return lit if ("e" in lit or "E" in lit) else lit + "e0"
+
+
+def _lsh_bucket_sql(vec_expr: str, planes) -> str:
+    """Sign-LSH bucket id of ``vec_expr`` for one table's hyperplanes —
+    bit i = 1[<v, plane_i> >= 0], the exact expression signature_bits_col
+    evaluates Spark-side (pipeline/similarity.py). The dot product uses the
+    same list_sum shape the cosine_topk oracle already hash-matches."""
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(_sql_double(x) for x in p)
+        dot = (
+            f"list_sum(list_transform(list_zip({vec_expr}, [{lits}]), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
+    return "(" + "\n             + ".join(terms) + ")"
+
+
+_EMB_DIM = 64  # embeddings fixture dimensionality (TESTDATA.md, all SFs)
+
+
+def _lsh_tables_planes(n_planes: int = 4, n_tables: int = 8, seed: int = 42):
+    from sequenzo_spark.pipeline.similarity import _hyperplane
+
+    return [
+        [_hyperplane(_EMB_DIM, t * n_planes + i, seed) for i in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Exact-cosine SQL matching Spark's fold order (the proven
+    cosine_topk oracle expression)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, "
+        f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, "
+        f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+    )
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """Oracle for q_lsh_cosine_topk: the hyperplanes are DETERMINISTIC
+    (seeded splitmix mix), so the SQL embeds them as literals, recomputes
+    every vector's sign-LSH buckets AND the query's buckets with identical
+    float arithmetic, filters to the same candidate set, and takes the exact
+    cosine top-k within it. Any recall/bucketing divergence between the
+    engines surfaces as a row/hash mismatch — the minhash_verified_pairs
+    trick applied to ANN."""
+    tp = _lsh_tables_planes()
+    vb = ",\n               ".join(
+        f"{_lsh_bucket_sql('e.embedding', planes)} AS vb_{t}"
+        for t, planes in enumerate(tp)
+    )
+    qb = ",\n               ".join(
+        f"{_lsh_bucket_sql('qe', planes)} AS qb_{t}"
+        for t, planes in enumerate(tp)
+    )
+    match = " OR ".join(f"b.vb_{t} = qb.qb_{t}" for t in range(len(tp)))
+    return f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        b AS (
+            SELECT e.vec_id, e.embedding,
+               {vb}
+            FROM embeddings e
+        ),
+        qb AS (
+            SELECT {qb}
+            FROM q
+        ),
+        cand AS (
+            SELECT b.vec_id, b.embedding FROM b, qb WHERE {match}
+        ),
+        scored AS (
+            SELECT c.vec_id, {_cos_sql('c.embedding', 'q.qe')} AS cos_raw
+            FROM cand c, q
+        )
+        SELECT vec_id, round(cos_raw, {R}) AS cosine
+        FROM scored ORDER BY cos_raw DESC, vec_id ASC LIMIT 10
+    """
+
+
+def _ann_batch_oracle_sql() -> str:
+    """Oracle for q_ann_batch_topk — same embedded-hyperplane device as
+    _lsh_topk_oracle_sql, batched: candidates = (query, vector) pairs
+    sharing any table bucket, then exact cosine + per-query row_number
+    top-5 with the same (cosine DESC, vec_id ASC) tie-break."""
+    tp = _lsh_tables_planes()
+    vb = ",\n               ".join(
+        f"{_lsh_bucket_sql('e.embedding', planes)} AS b_{t}"
+        for t, planes in enumerate(tp)
+    )
+    qb = ",\n               ".join(
+        f"{_lsh_bucket_sql('e.embedding', planes)} AS b_{t}"
+        for t, planes in enumerate(tp)
+    )
+    match = " OR ".join(f"v.b_{t} = q.b_{t}" for t in range(len(tp)))
+    return f"""
+        WITH v AS (
+            SELECT e.vec_id, e.embedding,
+               {vb}
+            FROM embeddings e
+        ),
+        q AS (
+            SELECT e.vec_id AS query_id, e.embedding AS qe,
+               {qb}
+            FROM embeddings e WHERE e.vec_id < 8
+        ),
+        cand AS (
+            SELECT DISTINCT q.query_id, v.vec_id FROM v, q WHERE {match}
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id,
+                   {_cos_sql('v.embedding', 'q.qe')} AS cos_raw
+            FROM cand c
+            JOIN v ON v.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, vec_id ASC)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(cos_raw, {R}) AS cosine,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
 
 def _simhash_oracle_sql() -> str:
     """DuckDB SimHash oracle, generated: 64 per-bit conditional sums over
@@ -1546,6 +1687,8 @@ ORACLE_SQL = {
         FROM base
     """,
     "simhash": _simhash_oracle_sql(),
+    "lsh_cosine_topk": _lsh_topk_oracle_sql(),
+    "ann_batch_topk": _ann_batch_oracle_sql(),
     "doc_fingerprint": """
         SELECT doc_id,
                md5(array_to_string(list_sort(list_distinct(

@@ -67,12 +67,11 @@ def test_query_matches_oracle(name, spark, duck):
 
 def test_all_queries_have_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLE_SQL)
-    # documented rows-only checks (non-SQL-expressible / probabilistic)
+    # documented rows-only checks (non-SQL-expressible / probabilistic).
+    # Round 4 oracle-ized simhash (portable md5 variant), lsh_cosine_topk
+    # and ann_batch_topk (hyperplanes embedded as SQL literals).
     assert missing <= {
         "turbulence",           # subsequence-count DP
         "turbulence_norm",      # subsequence-count DP (normalized)
         "minhash_lsh_candidates",  # engine-specific hash + probabilistic
-        "simhash",              # engine-specific hash
-        "lsh_cosine_topk",      # approximate ANN
-        "ann_batch_topk",       # approximate batch ANN
     }, missing
