@@ -721,6 +721,70 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- event-subsequence mining queries
+
+#: fixed probe patterns for the occurrence-count / group-comparison queries
+#: (transition-representation events over the declared alphabet; patterns
+#: absent from a sequence still emit dense 0/absent rows on both sides)
+SUBSEQ_PATTERNS = [
+    "(view>click)",
+    "(view)-(click>purchase)",
+    "(view>click)-(click>view)-(view>click)",
+]
+
+
+def q_frequent_event_subseq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event subsequences (k ≤ 3, presence support ≥ 5%) over the
+    TSE export — find_frequent_subsequences/seqefsub semantics
+    (reference event_sequences/core.py:601) as per-event-aggregate
+    self-joins (operators/subsequences.py)."""
+    from sequenzo_spark.functions.seqops import to_event_rows
+    from sequenzo_spark.operators.subsequences import frequent_subsequences
+
+    ev = to_event_rows(_event_turns(spark, sf_dir))
+    out = frequent_subsequences(ev, max_k=3, min_support_ratio=0.05)
+    return out.select(
+        "subseq", "k", "n_seqs", F.round("support", R).alias("support")
+    )
+
+
+def q_subseq_occurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence CDIST_O occurrence counts of three fixed patterns —
+    count_subsequence_occurrences/seqeapplysub semantics (core.py:702) via
+    the closed form of the greedy start-position counter (:1574-1589)."""
+    from sequenzo_spark.functions.seqops import to_event_rows
+    from sequenzo_spark.operators.subsequences import (
+        count_subsequence_occurrences,
+    )
+
+    ev = to_event_rows(_event_turns(spark, sf_dir))
+    return count_subsequence_occurrences(ev, SUBSEQ_PATTERNS, method="count")
+
+
+def q_subseq_group_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association of pattern presence with a 2-level group
+    (seq_id parity) — compare_groups/seqecmpgroup semantics (core.py:785)
+    with scipy's Yates-at-dof-1 convention."""
+    from sequenzo_spark.functions.seqops import to_event_rows
+    from sequenzo_spark.operators.subsequences import (
+        compare_group_subsequences,
+    )
+
+    turns = _event_turns(spark, sf_dir)
+    ev = to_event_rows(turns)
+    groups = turns.select("seq_id").distinct().select(
+        "seq_id", (F.col("seq_id") % 2).alias("group")
+    )
+    out = compare_group_subsequences(ev, groups, SUBSEQ_PATTERNS)
+    return out.select(
+        "subseq",
+        F.round("statistic", R).alias("statistic"),
+        "dof",
+        "n_present",
+        "n_total",
+    )
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -767,6 +831,9 @@ QUERIES = {
     "simhash": q_simhash,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "ann_batch_topk": q_ann_batch_topk,
+    "frequent_event_subseq": q_frequent_event_subseq,
+    "subseq_occurrence_counts": q_subseq_occurrence_counts,
+    "subseq_group_chisq": q_subseq_group_chisq,
 }
 
 # ------------------------------------------------------------- oracle SQL
@@ -970,6 +1037,71 @@ def _simhash_oracle_sql() -> str:
                CAST({lo_terms} AS BIGINT) AS simhash_lo
         FROM c
     """
+
+
+_EV_CTE = """
+turns AS (
+    SELECT user_id AS seq_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+           event_type AS state
+    FROM events
+),
+ev0 AS (
+    SELECT seq_id, pos,
+           CASE WHEN lag(state) OVER w IS NULL THEN state
+                WHEN lag(state) OVER w <> state
+                    THEN lag(state) OVER w || '>' || state
+           END AS event
+    FROM turns WINDOW w AS (PARTITION BY seq_id ORDER BY pos)
+),
+e AS (SELECT seq_id, pos, event FROM ev0 WHERE event IS NOT NULL),
+pe AS (
+    SELECT seq_id, event, min(pos) AS fp, max(pos) AS lp, count(*) AS n,
+           list_sort(list(pos)) AS ps
+    FROM e GROUP BY seq_id, event
+)"""
+
+
+def _subseq_cnt_sql(evs: list[str]) -> str:
+    """One SELECT producing (seq_id, cnt BIGINT) for a parsed pattern —
+    the same closed-form CDIST_O expressions the Spark operator uses."""
+    if len(evs) == 1:
+        return (
+            f"SELECT seq_id, CAST(n AS BIGINT) AS cnt FROM pe "
+            f"WHERE event = '{evs[0]}'"
+        )
+    if len(evs) == 2:
+        return (
+            f"SELECT a.seq_id, "
+            f"CAST(len(list_filter(a.ps, p -> p < b.lp)) AS BIGINT) AS cnt "
+            f"FROM pe a JOIN pe b ON a.seq_id = b.seq_id "
+            f"AND a.event = '{evs[0]}' AND b.event = '{evs[1]}'"
+        )
+    return (
+        f"SELECT a.seq_id, "
+        f"CAST(len(list_filter(a.ps, p -> len(list_filter(b.ps, "
+        f"q -> q > p AND q < c.lp)) > 0)) AS BIGINT) AS cnt "
+        f"FROM pe a JOIN pe b ON a.seq_id = b.seq_id "
+        f"JOIN pe c ON a.seq_id = c.seq_id "
+        f"AND a.event = '{evs[0]}' AND b.event = '{evs[1]}' "
+        f"AND c.event = '{evs[2]}'"
+    )
+
+
+def _subseq_counts_union_sql() -> str:
+    """Dense (seq_id, subseq, cnt) rows for every SUBSEQ_PATTERNS entry."""
+    from sequenzo_spark.operators.subsequences import parse_subsequence
+
+    parts = []
+    for pat in SUBSEQ_PATTERNS:
+        evs = parse_subsequence(pat)
+        parts.append(
+            f"SELECT s.seq_id, '{pat}' AS subseq, "
+            f"coalesce(c.cnt, 0) AS cnt "
+            f"FROM seqs s LEFT JOIN ({_subseq_cnt_sql(evs)}) c "
+            f"ON s.seq_id = c.seq_id"
+        )
+    return " UNION ALL ".join(parts)
 
 
 ORACLE_SQL = {
@@ -1685,6 +1817,95 @@ ORACLE_SQL = {
                      ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                           * 1.0 / length(text) END, {R}) AS alpha_ratio
         FROM base
+    """,
+    "frequent_event_subseq": f"""
+        WITH {_EV_CTE},
+        tot AS (SELECT CAST(count(DISTINCT seq_id) AS DOUBLE) AS t FROM e),
+        k1 AS (
+            SELECT '(' || event || ')' AS subseq, 1 AS k,
+                   CAST(count(*) AS DOUBLE) AS n_seqs
+            FROM pe GROUP BY 1
+        ),
+        k2 AS (
+            SELECT '(' || a.event || ')-(' || b.event || ')' AS subseq,
+                   2 AS k, CAST(count(*) AS DOUBLE) AS n_seqs
+            FROM pe a JOIN pe b ON a.seq_id = b.seq_id AND a.fp < b.lp
+            GROUP BY 1
+        ),
+        k3 AS (
+            SELECT '(' || a.event || ')-(' || b.event || ')-('
+                       || c.event || ')' AS subseq,
+                   3 AS k, CAST(count(*) AS DOUBLE) AS n_seqs
+            FROM pe a
+            JOIN pe b ON a.seq_id = b.seq_id
+            JOIN pe c ON a.seq_id = c.seq_id
+            WHERE len(list_filter(b.ps, p -> p > a.fp AND p < c.lp)) > 0
+            GROUP BY 1
+        ),
+        u AS (
+            SELECT * FROM k1 UNION ALL SELECT * FROM k2
+            UNION ALL SELECT * FROM k3
+        )
+        SELECT subseq, k, n_seqs, round(n_seqs / t, {R}) AS support
+        FROM u, tot WHERE n_seqs / t >= 0.05
+    """,
+    "subseq_occurrence_counts": f"""
+        WITH {_EV_CTE},
+        seqs AS (SELECT DISTINCT seq_id FROM e),
+        counts AS ({_subseq_counts_union_sql()})
+        SELECT seq_id, subseq, cnt AS count FROM counts
+    """,
+    "subseq_group_chisq": f"""
+        WITH {_EV_CTE},
+        seqs AS (SELECT DISTINCT seq_id FROM e),
+        counts AS ({_subseq_counts_union_sql()}),
+        pres AS (
+            SELECT seq_id, subseq,
+                   CASE WHEN cnt > 0 THEN 1 ELSE 0 END AS x
+            FROM counts
+        ),
+        cells AS (
+            SELECT subseq, seq_id % 2 AS grp,
+                   CAST(sum(x) AS BIGINT) AS obs1,
+                   CAST(count(*) - sum(x) AS BIGINT) AS obs0
+            FROM pres GROUP BY 1, 2
+        ),
+        rows_ AS (
+            SELECT subseq,
+                   CAST(sum(obs1) AS BIGINT) AS r1,
+                   CAST(sum(obs0) AS BIGINT) AS r0,
+                   count(*) AS ng,
+                   CAST(sum(obs1) + sum(obs0) AS DOUBLE) AS nt
+            FROM cells GROUP BY 1
+        ),
+        terms AS (
+            SELECT c.subseq, r.r1, r.nt,
+                   -- Yates (dof 1) per scipy: no correction when the
+                   -- diff is exactly 0 (sign(0)=0), else (|d|-0.5)^2
+                   (CASE WHEN (c.obs1 + c.obs0) * r.r1 / r.nt > 0 THEN
+                        pow(CASE WHEN abs(c.obs1 - (c.obs1 + c.obs0) * r.r1 / r.nt) = 0
+                                 THEN 0.0
+                                 ELSE abs(c.obs1 - (c.obs1 + c.obs0) * r.r1 / r.nt)
+                                      - (CASE WHEN r.ng = 2 THEN 0.5 ELSE 0.0 END)
+                            END, 2)
+                        / ((c.obs1 + c.obs0) * r.r1 / r.nt)
+                    ELSE 0.0 END)
+                 + (CASE WHEN (c.obs1 + c.obs0) * r.r0 / r.nt > 0 THEN
+                        pow(CASE WHEN abs(c.obs0 - (c.obs1 + c.obs0) * r.r0 / r.nt) = 0
+                                 THEN 0.0
+                                 ELSE abs(c.obs0 - (c.obs1 + c.obs0) * r.r0 / r.nt)
+                                      - (CASE WHEN r.ng = 2 THEN 0.5 ELSE 0.0 END)
+                            END, 2)
+                        / ((c.obs1 + c.obs0) * r.r0 / r.nt)
+                    ELSE 0.0 END) AS cell_term
+            FROM cells c JOIN rows_ r ON c.subseq = r.subseq
+        )
+        SELECT t.subseq, round(sum(t.cell_term), {R}) AS statistic,
+               CAST(any_value(r.ng) - 1 AS BIGINT) AS dof,
+               any_value(r.r1) AS n_present,
+               CAST(any_value(r.nt) AS BIGINT) AS n_total
+        FROM terms t JOIN rows_ r ON t.subseq = r.subseq
+        GROUP BY t.subseq
     """,
     "simhash": _simhash_oracle_sql(),
     "lsh_cosine_topk": _lsh_topk_oracle_sql(),
