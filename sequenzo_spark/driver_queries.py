@@ -785,6 +785,33 @@ def q_subseq_group_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_tree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """System-level prefix-tree indicators: distinct-prefix count and
+    branching factor per depth (compute_prefix_count /
+    compute_branching_factor, prefix_tree/system_level_indicators.py:110,
+    :131) — closed-form count ratios, no tree materialization."""
+    from sequenzo_spark.operators.prefix_tree import prefix_tree_stats
+
+    turns = _event_turns(spark, sf_dir)
+    out = prefix_tree_stats(turns)
+    return out.select(
+        "t", "n_prefixes", F.round("branching_factor", R).alias("branching_factor")
+    )
+
+
+def q_prefix_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individual-level prefix rarity score (Σ −ln(freq/N)) and path
+    uniqueness (prefix_tree/individual_level_indicators.py:46, :1282)."""
+    from sequenzo_spark.operators.prefix_tree import prefix_rarity
+
+    turns = _event_turns(spark, sf_dir)
+    out = prefix_rarity(turns)
+    return out.select(
+        "seq_id", F.round("rarity_score", R).alias("rarity_score"),
+        "path_uniqueness",
+    )
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -834,6 +861,8 @@ QUERIES = {
     "frequent_event_subseq": q_frequent_event_subseq,
     "subseq_occurrence_counts": q_subseq_occurrence_counts,
     "subseq_group_chisq": q_subseq_group_chisq,
+    "prefix_tree_stats": q_prefix_tree_stats,
+    "prefix_rarity": q_prefix_rarity,
 }
 
 # ------------------------------------------------------------- oracle SQL
@@ -1906,6 +1935,50 @@ ORACLE_SQL = {
                CAST(any_value(r.nt) AS BIGINT) AS n_total
         FROM terms t JOIN rows_ r ON t.subseq = r.subseq
         GROUP BY t.subseq
+    """,
+    "prefix_tree_stats": f"""
+        WITH {_TURNS_CTE},
+        pfx AS (
+            SELECT seq_id, row_number() OVER w AS t,
+                   string_agg(state, chr(31)) OVER (
+                       PARTITION BY seq_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS prefix
+            FROM turns WINDOW w AS (PARTITION BY seq_id ORDER BY pos)
+        ),
+        c AS (
+            SELECT t, CAST(count(DISTINCT prefix) AS BIGINT) AS n_prefixes
+            FROM pfx GROUP BY t
+        )
+        SELECT t, n_prefixes,
+               round(CASE WHEN lag(n_prefixes) OVER (ORDER BY t) IS NULL
+                          THEN 0.0
+                          ELSE CAST(n_prefixes AS DOUBLE)
+                               / CAST(lag(n_prefixes) OVER (ORDER BY t)
+                                      AS DOUBLE)
+                     END, {R}) AS branching_factor
+        FROM c
+    """,
+    "prefix_rarity": f"""
+        WITH {_TURNS_CTE},
+        pfx AS (
+            SELECT seq_id, row_number() OVER w AS t,
+                   string_agg(state, chr(31)) OVER (
+                       PARTITION BY seq_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS prefix
+            FROM turns WINDOW w AS (PARTITION BY seq_id ORDER BY pos)
+        ),
+        f AS (SELECT t, prefix, count(*) AS freq FROM pfx GROUP BY 1, 2),
+        n AS (SELECT CAST(count(DISTINCT seq_id) AS DOUBLE) AS nn FROM pfx),
+        j AS (
+            SELECT p.seq_id, p.t, f.freq
+            FROM pfx p JOIN f ON p.t = f.t AND p.prefix = f.prefix
+        )
+        SELECT seq_id,
+               round(list_sum(list(-ln(CAST(freq AS DOUBLE) / nn)
+                                   ORDER BY t)) + 0.0, {R}) AS rarity_score,
+               CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS path_uniqueness
+        FROM j, n GROUP BY seq_id
     """,
     "simhash": _simhash_oracle_sql(),
     "lsh_cosine_topk": _lsh_topk_oracle_sql(),
