@@ -62,14 +62,126 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, hgt) + img.tobytes()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 array as a minimal non-interlaced RGB8 PNG —
+    stdlib only (zlib + struct): IHDR / one IDAT (filter 0 rows) / IEND."""
+    import struct
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_png expects HxWx3 uint8")
+    hgt, w, _ = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, hgt, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(hgt))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit RGB (color type 2) or RGBA (6) PNG
+    with stdlib zlib + NumPy — no image library. All five row filters
+    (None/Sub/Up/Average/Paeth) are unfiltered per the PNG spec; RGBA
+    drops alpha so the HxWx3 contract of decode_image holds. Sub uses a
+    per-channel cumulative sum (mod-256 uint8 wrap); Average/Paeth carry a
+    left-to-right pixel loop — rows are short and mapInPandas batches
+    bound the Python time."""
+    import struct
+    import zlib
+
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, hgt, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "stdlib PNG decoder handles non-interlaced 8-bit RGB/RGBA only "
+            f"(got depth={depth}, color_type={color_type}, "
+            f"interlace={interlace})"
+        )
+    ch = 3 if color_type == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != hgt * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.empty((hgt, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(hgt):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        if ftype == 0:  # None
+            recon = row
+        elif ftype == 1:  # Sub: left dependency → per-channel cumsum mod 256
+            recon = (
+                np.cumsum(row.reshape(w, ch), axis=0, dtype=np.uint64) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            recon = row + prev  # uint8 wraps mod 256
+        elif ftype in (3, 4):  # Average / Paeth: sequential left+up
+            recon = np.empty(stride, dtype=np.uint8)
+            ri = row.astype(np.int32)
+            pi = prev.astype(np.int32)
+            rc = recon  # alias
+            for x in range(stride):
+                left = int(rc[x - ch]) if x >= ch else 0
+                up = int(pi[x])
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(pi[x - ch]) if x >= ch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left
+                        if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else ul)
+                    )
+                rc[x] = (ri[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = recon
+        prev = recon
+    return out.reshape(hgt, w, ch)[:, :, :3].copy()
+
+
 def decode_image(payload: bytes, meta: dict, fake: bool = False) -> np.ndarray:
     """Decode one image payload to an HxWx3 uint8 array.
 
-    Real path: binary PPM (P6) is decoded with pure NumPy (header parse +
-    frombuffer) — no external image library needed. Compressed codecs
-    (PNG/JPEG/…) would need Pillow, absent in this container, and raise
-    NotImplementedError. ``fake=True`` keeps the deterministic pseudo-decode
-    (payload bytes tiled to the metadata shape) used by plumbing tests."""
+    Real paths: binary PPM (P6) via pure NumPy (header parse + frombuffer),
+    and non-interlaced 8-bit RGB/RGBA PNG via the stdlib zlib decoder
+    (_png_decode — all five row filters). JPEG and other codecs would need
+    Pillow, absent in this container, and raise NotImplementedError.
+    ``fake=True`` keeps the deterministic pseudo-decode (payload bytes
+    tiled to the metadata shape) used by plumbing tests."""
     if fake:
         w, hgt = int(meta["width"]), int(meta["height"])
         buf = np.frombuffer(payload, dtype=np.uint8)
@@ -88,9 +200,11 @@ def decode_image(payload: bytes, meta: dict, fake: bool = False) -> np.ndarray:
             payload, dtype=np.uint8, count=w * hgt * 3, offset=m.end()
         )
         return arr.reshape(hgt, w, 3).copy()
+    if payload[:8] == PNG_SIG:
+        return _png_decode(payload)
     raise NotImplementedError(
-        "only binary PPM (P6) decodes without an image library; "
-        "PNG/JPEG need Pillow, not available in this environment"
+        "binary PPM (P6) and non-interlaced RGB8 PNG decode without an "
+        "image library; JPEG needs Pillow, not available in this environment"
     )
 
 
@@ -127,6 +241,53 @@ def attach_ppm_media(
                         encode_ppm(img),
                         {
                             "format": "image/x-portable-pixmap",
+                            "width": w,
+                            "height": hgt,
+                            "n_frames": 1,
+                            "sample_rate": None,
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, f"{name}_bytes", f"{name}_meta"]
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
+def attach_png_media(
+    df: DataFrame,
+    id_col: str,
+    name: str = "image",
+    seed: int = 42,
+    max_side: int = 24,
+) -> DataFrame:
+    """Attach REAL compressed image payloads: deterministic per-id pixels
+    encoded as non-interlaced RGB8 PNG via ``encode_png`` (stdlib zlib) —
+    the compressed-codec sibling of :func:`attach_ppm_media`, same
+    mapInPandas distribution shape."""
+    from sequenzo_spark import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    id_type = next(
+        f.dataType.simpleString() for f in df.schema if f.name == id_col
+    )
+    schema = f"{id_col} {id_type}, {name}_bytes binary, {name}_meta {MEDIA_META_DDL}"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for v in pdf[id_col]:
+                rng = np.random.default_rng((int(v) * 2654435761 + seed) % 2**63)
+                w = int(rng.integers(8, max_side + 1))
+                hgt = int(rng.integers(8, max_side + 1))
+                img = rng.integers(0, 256, size=(hgt, w, 3), dtype=np.uint8)
+                out.append(
+                    (
+                        v,
+                        encode_png(img),
+                        {
+                            "format": "image/png",
                             "width": w,
                             "height": hgt,
                             "n_frames": 1,

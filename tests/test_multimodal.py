@@ -106,5 +106,142 @@ def test_decode_image_unknown_codec_raises(spark):
 
     from sequenzo_spark.pipeline.multimodal import decode_image
 
+    # JPEG (SOI marker) stays honestly stubbed — needs Pillow
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16, {})
+    # a PNG signature with garbage chunks is malformed, not unsupported
+    with pytest.raises(ValueError, match="malformed PNG"):
         decode_image(b"\x89PNG\r\n\x1a\n....", {})
+
+
+def test_png_roundtrip():
+    import numpy as np
+
+    from sequenzo_spark.pipeline.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    out = decode_image(encode_png(img), {}, fake=False)
+    assert out.shape == (13, 9, 3)
+    assert (out == img).all()
+
+
+def test_png_all_filters_unfilter_correctly():
+    """Build a PNG whose rows use every filter type (0..4), filtered by an
+    independent pure-Python reference filterer, and assert the decoder
+    reconstructs the original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sequenzo_spark.pipeline.multimodal import PNG_SIG, _png_decode
+
+    rng = np.random.default_rng(9)
+    w, h, ch = 7, 5, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+    def ref_filter(ftype, row, prev):
+        out = bytearray()
+        for x in range(len(row)):
+            left = row[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            out.append((int(row[x]) - pred) % 256)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for r in range(h):
+        ftype = r % 5
+        row = [int(v) for v in img[r].reshape(-1)]
+        raw.append(ftype)
+        raw += ref_filter(ftype, row, prev)
+        prev = row
+
+    def chunk(typ, data):
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (_png_decode(payload) == img).all()
+
+
+def test_png_rgba_drops_alpha():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sequenzo_spark.pipeline.multimodal import PNG_SIG, _png_decode
+
+    rng = np.random.default_rng(3)
+    w, h = 4, 3
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+
+    def chunk(typ, data):
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + rgba[r].tobytes() for r in range(h))
+    payload = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (_png_decode(payload) == rgba[:, :, :3]).all()
+
+
+def test_png_end_to_end_features(spark):
+    """attach_png_media → extract_image_features with the REAL decoder:
+    per-image channel means must equal the deterministic source pixels'."""
+    import numpy as np
+
+    from sequenzo_spark.pipeline.multimodal import (
+        attach_png_media,
+        extract_image_features,
+    )
+
+    ids = spark.range(6).select(F.col("id").cast("long").alias("doc_id"))
+    media = attach_png_media(ids, "doc_id", seed=42, max_side=16)
+    feats = {
+        r["doc_id"]: r
+        for r in extract_image_features(
+            media, "doc_id", fake_decode=False
+        ).collect()
+    }
+    assert len(feats) == 6
+    for v in range(6):
+        rng = np.random.default_rng((v * 2654435761 + 42) % 2**63)
+        w = int(rng.integers(8, 17))
+        hgt = int(rng.integers(8, 17))
+        img = rng.integers(0, 256, size=(hgt, w, 3), dtype=np.uint8)
+        assert feats[v]["mean_r"] == pytest.approx(float(img[:, :, 0].mean()))
+        assert feats[v]["mean_g"] == pytest.approx(float(img[:, :, 1].mean()))
+        assert feats[v]["mean_b"] == pytest.approx(float(img[:, :, 2].mean()))
