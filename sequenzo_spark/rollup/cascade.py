@@ -3,7 +3,9 @@
 Stage graph (SURVEY.md §3.4):
 
   transcripts ─encode→ encoded_turns ─rollup_1m→ {state_counts, transitions,
-  spells}@1m ─rollup_1h→ …@1h ─rollup_1d→ …@1d
+  spells}@1m ─rollup_1h1d→ …@1h AND …@1d (fused: one stage computes the 1h
+  merge from the 1m files and the 1d merge from the in-memory 1h frames;
+  the on-disk rollup_1h/ and rollup_1d/ trees are unchanged)
 
 Partitioning / batching / resume design:
 
@@ -226,6 +228,12 @@ def run_cascade(
             commit_rows: list[dict] = []
 
             def _path_of(tname):
+                # a "/" in the table name addresses a path relative to
+                # out_root directly — the fused 1h+1d stage uses this to
+                # keep the on-disk tier layout (rollup_1h/…, rollup_1d/…)
+                # identical to the unfused cascade's
+                if "/" in tname:
+                    return f"{out_root}/{tname}"
                 return (
                     f"{out_root}/{stage}/{tname}"
                     if len(outputs) > 1
@@ -374,7 +382,7 @@ def run_cascade(
         # Empty input (or an explicit empty encode_dates): nothing was
         # written, so there is no encode/ directory for the tier stages to
         # read. Record the downstream stages as run-with-zero-rows.
-        for stage in ["rollup_1m", "rollup_1h", "rollup_1d"] + (
+        for stage in ["rollup_1m", "rollup_1h1d"] + (
             ["gorilla"] if compress else []
         ):
             res.stages_run.append(stage)
@@ -406,37 +414,50 @@ def run_cascade(
         batch_buckets,
     )
 
-    # ---- stages: rollup_1h, rollup_1d (merge the lower tier's files) -----
+    # ---- stage: rollup_1h1d — FUSED 1m→1h→1d merge (round-4) -------------
+    # The 1h and 1d tiers were separate stages through round 3; each stage
+    # carries a fixed driver cost (session scheduling, one metrics collect,
+    # manifest commit) that caps scaling efficiency once the per-level data
+    # work shrinks (BENCH/BASELINE.md). A 1d bucket needs exactly one
+    # part_date of 1h rows, so a date batch can compute BOTH tiers: 1h is
+    # aggregated from the 1m files, persisted, written, and the 1d merge
+    # reads the persisted 1h FRAMES (in-memory lineage) instead of reading
+    # the 1h files back. On-disk layout is unchanged (path-style table
+    # names), so readers (gorilla, queries, tests) see the same tree; both
+    # tiers' partitions commit atomically per batch in the manifest.
     mergers = {
         "state_counts": merge_state_counts,
         "transitions": merge_transitions,
         "spells": merge_spells,
     }
-    for tier, lower in (("1h", "rollup_1m"), ("1d", "rollup_1h")):
-        stage = f"rollup_{tier}"
-        lower_paths = {t: f"{out_root}/{lower}/{t}" for t in TIER_TABLES}
-        dates = _list_part_dates(lower_paths["state_counts"])
+    dates = _list_part_dates(f"{out_root}/rollup_1m/state_counts")
 
-        def build_tier(_sub, batch, _tier=tier, _paths=lower_paths):
-            days = [str(b) for b in batch]
-            out = {}
-            for tname, fn in mergers.items():
-                low = spark.read.parquet(_paths[tname]).filter(
-                    F.col("part_date").cast("string").isin(days)
-                )
-                out[tname] = fn(low, _tier).withColumn(
-                    "part_date", F.to_date("time_bucket").cast("string")
-                )
-            return out
+    def build_1h1d(_sub, batch):
+        days = [str(b) for b in batch]
+        h_tables = {}
+        for tname, fn in mergers.items():
+            low = spark.read.parquet(f"{out_root}/rollup_1m/{tname}").filter(
+                F.col("part_date").cast("string").isin(days)
+            )
+            h = fn(low, "1h").withColumn(
+                "part_date", F.to_date("time_bucket").cast("string")
+            )
+            h_tables[tname] = h.persist()
+        out = {f"rollup_1h/{t}": df for t, df in h_tables.items()}
+        for tname, fn in mergers.items():
+            out[f"rollup_1d/{tname}"] = fn(h_tables[tname], "1d").withColumn(
+                "part_date", F.to_date("time_bucket").cast("string")
+            )
+        return out, lambda: [df.unpersist() for df in h_tables.values()]
 
-        run_stage(
-            stage,
-            dates,
-            lambda df, b: df,  # build() reads + prunes the lower tier itself
-            build_tier,
-            None,
-            batch_dates,
-        )
+    run_stage(
+        "rollup_1h1d",
+        dates,
+        lambda df, b: df,  # build() reads + prunes the lower tier itself
+        build_1h1d,
+        None,
+        batch_dates,
+    )
 
     # ---- stage: gorilla — compress all three tiers' points to chunks -----
     # One Gorilla chunk per (tier, conv_bucket, state, day): timestamps =

@@ -35,7 +35,7 @@ def test_cascade_end_to_end(spark, raw, tmp_path):
         spark, raw, out, states=ROLE_ALPHABET, salt_buckets=SALT, job_id="j1"
     )
     assert res.stages_run == [
-        "encode", "rollup_1m", "rollup_1h", "rollup_1d", "gorilla",
+        "encode", "rollup_1m", "rollup_1h1d", "gorilla",
     ]
     assert all(v > 0 for v in res.rows_out.values())
 
@@ -146,7 +146,7 @@ def test_kill_and_resume_identical_output(spark, raw, tmp_path):
     rows = m.collect()
     assert all(r.rows_out >= 0 and r.wall_ms >= 0 for r in rows)
     assert {r.stage for r in rows} == {
-        "encode", "rollup_1m", "rollup_1h", "rollup_1d", "gorilla",
+        "encode", "rollup_1m", "rollup_1h1d", "gorilla",
     }
 
 
