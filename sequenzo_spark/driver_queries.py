@@ -741,8 +741,13 @@ def q_frequent_event_subseq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequenzo_spark.functions.seqops import to_event_rows
     from sequenzo_spark.operators.subsequences import frequent_subsequences
 
+    from sequenzo_spark.operators.subsequences import release_stats_caches
+
+    release_stats_caches()  # drop any stats table a previous query persisted
     ev = to_event_rows(_event_turns(spark, sf_dir))
-    out = frequent_subsequences(ev, max_k=3, min_support_ratio=0.05)
+    out = frequent_subsequences(
+        ev, max_k=3, min_support_ratio=0.05, persist_stats=True
+    )
     return out.select(
         "subseq", "k", "n_seqs", F.round("support", R).alias("support")
     )
@@ -757,8 +762,13 @@ def q_subseq_occurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_subsequence_occurrences,
     )
 
+    from sequenzo_spark.operators.subsequences import release_stats_caches
+
+    release_stats_caches()
     ev = to_event_rows(_event_turns(spark, sf_dir))
-    return count_subsequence_occurrences(ev, SUBSEQ_PATTERNS, method="count")
+    return count_subsequence_occurrences(
+        ev, SUBSEQ_PATTERNS, method="count", persist_stats=True
+    )
 
 
 def q_subseq_group_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:

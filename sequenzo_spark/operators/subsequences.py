@@ -36,6 +36,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# Persisted per-event-stats tables currently alive (the dedup-module
+# registry pattern): persist_stats=True registers here so callers without
+# a handle on the internal frame — driver-query wrappers, bench — can
+# release storage between plans via release_stats_caches().
+_LIVE_STATS_CACHES: list[DataFrame] = []
+
+
+def release_stats_caches() -> int:
+    """Unpersist every per-event-stats table persisted via
+    ``persist_stats=True`` since the last release. Returns the count.
+    Plans that still reference a released table simply recompute it."""
+    n = 0
+    while _LIVE_STATS_CACHES:
+        try:
+            _LIVE_STATS_CACHES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def _per_event_stats(
     events: DataFrame,
@@ -98,6 +118,7 @@ def frequent_subsequences(
     )
     if persist_stats:
         pe = pe.persist()
+        _LIVE_STATS_CACHES.append(pe)
     wcol = F.col("w") if weight_col else F.lit(1.0)
     # total support mass: distinct sequences (or their weight sum)
     per_seq = pe.groupBy("seq_id").agg(
@@ -216,6 +237,7 @@ def count_subsequence_occurrences(
     )
     if persist_stats:
         pe = pe.persist()
+        _LIVE_STATS_CACHES.append(pe)
     seqs = pe.select("seq_id").distinct()
 
     outs = []
