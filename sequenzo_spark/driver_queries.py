@@ -822,6 +822,40 @@ def q_prefix_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individual divergence flags via the z-score window method
+    (IndividualDivergence.compute_diverged / compute_standardized_rarity_score,
+    prefix_tree/individual_level_indicators.py:99-280, :647) — window=2
+    consecutive above-threshold years from depth 2 on."""
+    from sequenzo_spark.operators.prefix_tree import prefix_divergence
+
+    turns = _event_turns(spark, sf_dir)
+    out = prefix_divergence(turns, z_threshold=1.0, min_t=2, window=2)
+    return out.select(
+        "seq_id",
+        F.round("std_score", R).alias("std_score"),
+        "diverged",
+        "first_divergence_t",
+    )
+
+
+def q_spell_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-based prefix tree (level = spell index,
+    prefix_tree/spell_level_indicators.py:155 build_spell_prefix_tree /
+    spell_individual_level_indicators.py:40): the same prefix-count +
+    branching-factor aggregate over the SPELL table — level k = after the
+    k-th spell — composing spell_table with prefix_tree_stats."""
+    from sequenzo_spark.operators.prefix_tree import prefix_tree_stats
+    from sequenzo_spark.operators.spells import spell_table
+
+    turns = _event_turns(spark, sf_dir)
+    spells = spell_table(turns)
+    out = prefix_tree_stats(spells, order_col="spell_id")
+    return out.select(
+        "t", "n_prefixes", F.round("branching_factor", R).alias("branching_factor")
+    )
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -873,6 +907,8 @@ QUERIES = {
     "subseq_group_chisq": q_subseq_group_chisq,
     "prefix_tree_stats": q_prefix_tree_stats,
     "prefix_rarity": q_prefix_rarity,
+    "prefix_divergence": q_prefix_divergence,
+    "spell_prefix_stats": q_spell_prefix_stats,
 }
 
 # ------------------------------------------------------------- oracle SQL
@@ -1989,6 +2025,85 @@ ORACLE_SQL = {
                CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS path_uniqueness
         FROM j, n GROUP BY seq_id
+    """,
+    "prefix_divergence": f"""
+        WITH {_TURNS_CTE},
+        pfx AS (
+            SELECT seq_id, row_number() OVER w AS t,
+                   string_agg(state, chr(31)) OVER (
+                       PARTITION BY seq_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS prefix
+            FROM turns WINDOW w AS (PARTITION BY seq_id ORDER BY pos)
+        ),
+        f AS (SELECT t, prefix, count(*) AS freq FROM pfx GROUP BY 1, 2),
+        n AS (SELECT CAST(count(DISTINCT seq_id) AS DOUBLE) AS nn FROM pfx),
+        rar AS (
+            SELECT p.seq_id, p.t,
+                   -ln(CAST(f.freq AS DOUBLE) / nn + 1e-10) AS r
+            FROM pfx p JOIN f ON p.t = f.t AND p.prefix = f.prefix, n
+        ),
+        st AS (
+            SELECT t, count(*) AS cnt,
+                   list_sum(list(r ORDER BY seq_id)) AS s1,
+                   list_sum(list(r * r ORDER BY seq_id)) AS s2,
+                   len(list_distinct(list(r))) = 1 AS zv
+            FROM rar GROUP BY t
+        ),
+        z AS (
+            SELECT rar.seq_id, rar.t,
+                   CASE WHEN st.zv OR st.cnt < 2 THEN NULL
+                        ELSE (rar.r - st.s1 / st.cnt)
+                             / sqrt((st.s2 - 2 * (st.s1 / st.cnt) * st.s1
+                                     + st.cnt * (st.s1 / st.cnt) * (st.s1 / st.cnt))
+                                    / (st.cnt - 1))
+                   END AS z
+            FROM rar JOIN st ON rar.t = st.t
+        ),
+        per AS (SELECT seq_id, list(z ORDER BY t) AS za FROM z GROUP BY seq_id),
+        cand AS (
+            SELECT seq_id,
+                   [struct_pack(p := p, wmin := list_min(za[p:p+1]))
+                    FOR p IN range(2, len(za))
+                    IF len(list_filter(za[p:p+1], x -> x IS NULL)) = 0]
+                       AS cands
+            FROM per
+        ),
+        agg AS (
+            SELECT seq_id, cands,
+                   [c.wmin FOR c IN cands] AS wmins,
+                   [c.p FOR c IN cands IF c.wmin > 1.0] AS passed
+            FROM cand
+        )
+        SELECT seq_id,
+               CASE WHEN len(wmins) > 0
+                    THEN round(list_max(wmins), {R}) END AS std_score,
+               CAST(CASE WHEN len(passed) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS diverged,
+               CAST(CASE WHEN len(passed) > 0 THEN list_min(passed) ELSE 0 END
+                    AS BIGINT) AS first_divergence_t
+        FROM agg
+    """,
+    "spell_prefix_stats": f"""
+        WITH {_SPELLS_CTE},
+        pfx AS (
+            SELECT seq_id, row_number() OVER w AS t,
+                   string_agg(state, chr(31)) OVER (
+                       PARTITION BY seq_id ORDER BY spell_id
+                       ROWS UNBOUNDED PRECEDING) AS prefix
+            FROM spells WINDOW w AS (PARTITION BY seq_id ORDER BY spell_id)
+        ),
+        c AS (
+            SELECT t, CAST(count(DISTINCT prefix) AS BIGINT) AS n_prefixes
+            FROM pfx GROUP BY t
+        )
+        SELECT t, n_prefixes,
+               round(CASE WHEN lag(n_prefixes) OVER (ORDER BY t) IS NULL
+                          THEN 0.0
+                          ELSE CAST(n_prefixes AS DOUBLE)
+                               / CAST(lag(n_prefixes) OVER (ORDER BY t)
+                                      AS DOUBLE)
+                     END, {R}) AS branching_factor
+        FROM c
     """,
     "simhash": _simhash_oracle_sql(),
     "lsh_cosine_topk": _lsh_topk_oracle_sql(),

@@ -89,6 +89,134 @@ def prefix_tree_stats(
     return per_t.select("t", "n_prefixes", bf.alias("branching_factor"))
 
 
+def prefix_divergence(
+    df: DataFrame,
+    z_threshold: float = 1.5,
+    min_t: int = 2,
+    window: int = 1,
+    inclusive: bool = False,
+    seq_col: str = "seq_id",
+    order_col: str = "pos",
+    state_col: str = "state",
+) -> DataFrame:
+    """Individual divergence via the reference's z-score window method
+    (IndividualDivergence.compute_diverged / compute_standardized_rarity_score
+    / compute_first_divergence_year,
+    prefix_tree/individual_level_indicators.py:99-280, :647-726):
+
+    rarity(i,t) = −ln(freq(prefix_{i,t})/N + 1e-10)  (the divergence paths'
+    epsilon, :252); z(i,t) standardizes rarity across individuals per depth
+    with SAMPLE std (ddof=1, pandas default, :700); zero-variance depths
+    (all rarities equal — detected EXACTLY via distinct-count, not a float
+    threshold) and single-row depths give null z. Then per individual, over
+    start depths p ∈ [min_t, T−window+1], windows of ``window`` consecutive
+    z's skipping any window containing null:
+
+      std_score          = max_p min_k z(p+k)         (:717-722)
+      diverged           = 1 iff some window has all z > threshold
+                           (>= if ``inclusive``)       (:264-277)
+      first_divergence_t = smallest such p, 0 if none  (1-indexed, :282)
+
+    Output: seq_id, std_score (null when no valid window), diverged,
+    first_divergence_t. Per-depth moment sums fold in seq_id order and the
+    per-seq window scan folds in depth order — bit-deterministic at any
+    parallelism. Variable-length inputs generalize the reference's equal-T
+    requirement: depth-t stats cover the sequences long enough to reach t."""
+    if min_t < 1 or window < 1:
+        raise ValueError("min_t and window must be >= 1")
+    pfx = _prefix_rows(df, seq_col, order_col, state_col)
+    freq = pfx.groupBy("t", "prefix").agg(F.count(F.lit(1)).alias("freq"))
+    joined = pfx.join(freq, ["t", "prefix"])
+    n_seqs = joined.select("seq_id").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    rar = joined.crossJoin(F.broadcast(n_seqs)).select(
+        "seq_id",
+        "t",
+        (
+            -F.log(
+                F.col("freq").cast("double") / F.col("_n").cast("double")
+                + F.lit(1e-10)
+            )
+        ).alias("r"),
+    )
+    # per-depth moments from an ordered fold (deterministic bits)
+    stats = rar.groupBy("t").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("seq_id").alias("i"), F.col("r")))
+        ).alias("_a"),
+    )
+    rs = F.transform(F.col("_a"), lambda s: s["r"])
+    s1 = F.aggregate(rs, F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(rs, F.lit(0.0), lambda a, x: a + x * x)
+    zero_var = F.size(F.array_distinct(rs)) == 1
+    stats = stats.select(
+        "t",
+        "cnt",
+        s1.alias("s1"),
+        s2.alias("s2"),
+        zero_var.alias("zv"),
+    )
+    m = F.col("s1") / F.col("cnt")
+    var = (
+        F.col("s2") - 2 * m * F.col("s1") + F.col("cnt") * m * m
+    ) / (F.col("cnt") - 1)
+    z = F.when(
+        F.col("zv") | (F.col("cnt") < 2), F.lit(None).cast("double")
+    ).otherwise((F.col("r") - m) / F.sqrt(var))
+    zrows = rar.join(F.broadcast(stats), "t").select(
+        "seq_id", "t", z.alias("z")
+    )
+    per = zrows.groupBy("seq_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t"), F.col("z")))
+        ).alias("_zs")
+    )
+    za = F.transform(F.col("_zs"), lambda s: s["z"])
+    w = int(window)
+    # guard: a sequence shorter than min_t+window−1 has no start positions —
+    # without it F.sequence(min_t, smaller) would DESCEND (default step −1)
+    starts = F.when(
+        F.size(za) - (w - 1) >= int(min_t),
+        F.sequence(F.lit(int(min_t)), F.size(za) - (w - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    cands = F.filter(
+        F.transform(
+            starts,
+            lambda p: F.struct(
+                p.alias("p"), F.array_min(F.slice(za, p, w)).alias("wmin")
+            ),
+        ),
+        lambda c: ~F.exists(
+            F.slice(za, c["p"], w), lambda x: x.isNull()
+        ),
+    )
+    wmins = F.transform(cands, lambda c: c["wmin"])
+    passed = F.filter(
+        cands,
+        lambda c: (c["wmin"] >= z_threshold)
+        if inclusive
+        else (c["wmin"] > z_threshold),
+    )
+    std_score = F.when(F.size(wmins) > 0, F.array_max(wmins))
+    diverged = F.when(F.size(passed) > 0, F.lit(1)).otherwise(F.lit(0))
+    first_t = F.when(
+        F.size(passed) > 0,
+        F.aggregate(
+            F.transform(passed, lambda c: c["p"]),
+            F.lit(2**31 - 1),
+            lambda acc, x: F.least(acc, x),
+        ),
+    ).otherwise(F.lit(0))
+    return per.select(
+        "seq_id",
+        std_score.alias("std_score"),
+        diverged.cast("long").alias("diverged"),
+        first_t.cast("long").alias("first_divergence_t"),
+    )
+
+
 def prefix_rarity(
     df: DataFrame,
     seq_col: str = "seq_id",

@@ -142,3 +142,88 @@ def test_variable_lengths_and_zero_normalization(spark):
     assert got["rarity_score"] == 0.0
     assert math.copysign(1.0, got["rarity_score"]) == 1.0  # not -0.0
     assert got["path_uniqueness"] == 3
+
+
+def test_prefix_divergence_matches_reference_zscore(spark):
+    """prefix_divergence vs a pure-Python mirror of the reference's
+    compute_diverged / compute_standardized_rarity_score /
+    compute_first_divergence_year (z-score method, ddof=1, NaN-window
+    skipping, epsilon 1e-10)."""
+    import random
+
+    from sequenzo_spark.operators.prefix_tree import prefix_divergence
+
+    rng = random.Random(123)
+    T, N = 6, 20
+    seqs = [[rng.choice("AB") for _ in range(T)] for _ in range(N)]
+    _, freq = _ref_prefix_sets(seqs)
+
+    # reference mirror
+    rarity = [
+        [-math.log(freq[t + 1][tuple(seq[: t + 1])] / N + 1e-10)
+         for t in range(T)]
+        for seq in seqs
+    ]
+    z = [[None] * T for _ in range(N)]
+    for t in range(T):
+        col = [rarity[i][t] for i in range(N)]
+        mean = sum(col) / N
+        var = sum((x - mean) ** 2 for x in col) / (N - 1)
+        if len(set(col)) == 1 or var == 0:
+            continue
+        sd = math.sqrt(var)
+        for i in range(N):
+            z[i][t] = (rarity[i][t] - mean) / sd
+
+    min_t, window, thr = 2, 2, 1.0
+    want = {}
+    for i in range(N):
+        cands = []
+        for p in range(min_t, T - window + 2):  # 1-indexed starts
+            vals = [z[i][p - 1 + k] for k in range(window)]
+            if any(v is None for v in vals):
+                continue
+            cands.append((p, min(vals)))
+        score = max((wm for _p, wm in cands), default=None)
+        passed = [p for p, wm in cands if wm > thr]
+        want[f"s{i}"] = (
+            score,
+            1 if passed else 0,
+            min(passed) if passed else 0,
+        )
+
+    got = {
+        r["seq_id"]: (r["std_score"], r["diverged"], r["first_divergence_t"])
+        for r in prefix_divergence(
+            _df(spark, seqs), z_threshold=thr, min_t=min_t, window=window
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        ws, wd, wf = want[k]
+        gs, gd, gf = got[k]
+        if ws is None:
+            assert gs is None, k
+        else:
+            assert gs == pytest.approx(ws), k
+        assert (gd, gf) == (wd, wf), k
+
+
+def test_prefix_divergence_short_sequences_and_zero_variance(spark):
+    from sequenzo_spark.operators.prefix_tree import prefix_divergence
+
+    # all sequences identical → every depth zero-variance → no valid window
+    seqs = [["A", "B", "C"]] * 4
+    got = prefix_divergence(_df(spark, seqs), min_t=2, window=1).collect()
+    for r in got:
+        assert r["std_score"] is None
+        assert r["diverged"] == 0 and r["first_divergence_t"] == 0
+    # a sequence shorter than min_t+window-1 yields no start positions
+    seqs2 = [["A"], ["B", "A", "B"], ["B", "B", "A"]]
+    got2 = {
+        r["seq_id"]: r
+        for r in prefix_divergence(
+            _df(spark, seqs2), min_t=2, window=2
+        ).collect()
+    }
+    assert got2["s0"]["std_score"] is None and got2["s0"]["diverged"] == 0
