@@ -64,11 +64,13 @@ def run_queries() -> dict[str, float]:
         # Release any MinHash signature table the query persisted: without
         # this the 2×N-query session accumulates persisted tables (round-3
         # advisor finding).
+        from sequenzo_spark.operators.prefix_tree import release_prefix_caches
         from sequenzo_spark.operators.subsequences import release_stats_caches
         from sequenzo_spark.pipeline.dedup import release_sig_caches
 
         release_sig_caches()
         release_stats_caches()
+        release_prefix_caches()
     spark.stop()
     return times, cold
 

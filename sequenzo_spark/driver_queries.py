@@ -827,10 +827,16 @@ def q_prefix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IndividualDivergence.compute_diverged / compute_standardized_rarity_score,
     prefix_tree/individual_level_indicators.py:99-280, :647) — window=2
     consecutive above-threshold years from depth 2 on."""
-    from sequenzo_spark.operators.prefix_tree import prefix_divergence
+    from sequenzo_spark.operators.prefix_tree import (
+        prefix_divergence,
+        release_prefix_caches,
+    )
 
+    release_prefix_caches()  # drop any rarity frame a previous query persisted
     turns = _event_turns(spark, sf_dir)
-    out = prefix_divergence(turns, z_threshold=1.0, min_t=2, window=2)
+    out = prefix_divergence(
+        turns, z_threshold=1.0, min_t=2, window=2, persist_stats=True
+    )
     return out.select(
         "seq_id",
         F.round("std_score", R).alias("std_score"),

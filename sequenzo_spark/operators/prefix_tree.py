@@ -41,6 +41,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# Persisted internal frames currently alive (the dedup-module registry
+# pattern): prefix_divergence(persist_stats=True) registers its rarity
+# frame here; release_prefix_caches() lets driver wrappers / bench drop
+# storage between plans.
+_LIVE_PREFIX_CACHES: list[DataFrame] = []
+
+
+def release_prefix_caches() -> int:
+    """Unpersist every frame persisted via ``persist_stats=True`` since
+    the last release. Plans that still reference one simply recompute."""
+    n = 0
+    while _LIVE_PREFIX_CACHES:
+        try:
+            _LIVE_PREFIX_CACHES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 SEP = "\x1f"  # unit separator: cannot appear in state labels (validated at ingest)
 
 
@@ -98,6 +118,7 @@ def prefix_divergence(
     seq_col: str = "seq_id",
     order_col: str = "pos",
     state_col: str = "state",
+    persist_stats: bool = False,
 ) -> DataFrame:
     """Individual divergence via the reference's z-score window method
     (IndividualDivergence.compute_diverged / compute_standardized_rarity_score
@@ -140,6 +161,11 @@ def prefix_divergence(
             )
         ).alias("r"),
     )
+    if persist_stats:
+        # rar feeds both the per-depth moment aggregate and the z re-join;
+        # without the cache the window+join chain runs twice
+        rar = rar.persist()
+        _LIVE_PREFIX_CACHES.append(rar)
     # per-depth moments from an ordered fold (deterministic bits)
     stats = rar.groupBy("t").agg(
         F.count(F.lit(1)).alias("cnt"),
