@@ -136,3 +136,35 @@ def test_domain_combine_single_shuffle_per_input(spark):
     # 2 domain inputs + 1 aggregation exchange is the ceiling; window pos
     # derivation shares the seq_id partitioning
     assert plan.count("Exchange") <= 4, plan[:2500]
+
+
+def test_subsequence_mining_uses_equijoins_only(spark):
+    """The kᵏ pattern joins must all hash/sort-merge on seq_id — a
+    cartesian or broadcast-nested-loop join here would be the O(n²) bomb
+    the per-event-aggregate design exists to avoid."""
+    from sequenzo_spark.driver_queries import QUERIES
+
+    plan = _plan(QUERIES["frequent_event_subseq"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop join allowed is the 1-row total broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_prefix_divergence_broadcasts_depth_stats(spark):
+    """The per-depth moment table (max-depth rows) must re-attach to the
+    rarity rows via a broadcast join, not a shuffle."""
+    from sequenzo_spark.driver_queries import QUERIES
+
+    plan = _plan(QUERIES["prefix_divergence"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_simhash_plan_has_no_aggregate_shuffle(spark):
+    """simhash is per-document: the only exchange allowed is the input
+    spread repartition — no hash-aggregate exchange (the round-3 shape
+    shuffled every token row)."""
+    from sequenzo_spark.pipeline.dedup import simhash64
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(simhash64(docs))
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
