@@ -1961,22 +1961,18 @@ ORACLE_SQL = {
         ),
         terms AS (
             SELECT c.subseq, r.r1, r.nt,
-                   -- Yates (dof 1) per scipy: no correction when the
-                   -- diff is exactly 0 (sign(0)=0), else (|d|-0.5)^2
+                   -- Yates (dof 1) per scipy >= 1.7: correction clamped
+                   -- to min(0.5, |diff|), i.e. max(|diff| - 0.5, 0)^2
                    (CASE WHEN (c.obs1 + c.obs0) * r.r1 / r.nt > 0 THEN
-                        pow(CASE WHEN abs(c.obs1 - (c.obs1 + c.obs0) * r.r1 / r.nt) = 0
-                                 THEN 0.0
-                                 ELSE abs(c.obs1 - (c.obs1 + c.obs0) * r.r1 / r.nt)
-                                      - (CASE WHEN r.ng = 2 THEN 0.5 ELSE 0.0 END)
-                            END, 2)
+                        pow(greatest(abs(c.obs1 - (c.obs1 + c.obs0) * r.r1 / r.nt)
+                                     - (CASE WHEN r.ng = 2 THEN 0.5 ELSE 0.0 END),
+                                     0.0), 2)
                         / ((c.obs1 + c.obs0) * r.r1 / r.nt)
                     ELSE 0.0 END)
                  + (CASE WHEN (c.obs1 + c.obs0) * r.r0 / r.nt > 0 THEN
-                        pow(CASE WHEN abs(c.obs0 - (c.obs1 + c.obs0) * r.r0 / r.nt) = 0
-                                 THEN 0.0
-                                 ELSE abs(c.obs0 - (c.obs1 + c.obs0) * r.r0 / r.nt)
-                                      - (CASE WHEN r.ng = 2 THEN 0.5 ELSE 0.0 END)
-                            END, 2)
+                        pow(greatest(abs(c.obs0 - (c.obs1 + c.obs0) * r.r0 / r.nt)
+                                     - (CASE WHEN r.ng = 2 THEN 0.5 ELSE 0.0 END),
+                                     0.0), 2)
                         / ((c.obs1 + c.obs0) * r.r0 / r.nt)
                     ELSE 0.0 END) AS cell_term
             FROM cells c JOIN rows_ r ON c.subseq = r.subseq
@@ -1986,6 +1982,8 @@ ORACLE_SQL = {
                any_value(r.r1) AS n_present,
                CAST(any_value(r.nt) AS BIGINT) AS n_total
         FROM terms t JOIN rows_ r ON t.subseq = r.subseq
+        -- reference skips degenerate patterns (present in 0 or all seqs)
+        WHERE r.r1 > 0 AND r.r1 < CAST(r.nt AS BIGINT)
         GROUP BY t.subseq
     """,
     "prefix_tree_stats": f"""
@@ -2026,7 +2024,7 @@ ORACLE_SQL = {
             FROM pfx p JOIN f ON p.t = f.t AND p.prefix = f.prefix
         )
         SELECT seq_id,
-               round(list_sum(list(-ln(CAST(freq AS DOUBLE) / nn)
+               round(list_sum(list(-ln(CAST(freq AS DOUBLE) / nn + 1e-10)
                                    ORDER BY t)) + 0.0, {R}) AS rarity_score,
                CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS path_uniqueness
@@ -2049,10 +2047,12 @@ ORACLE_SQL = {
             FROM pfx p JOIN f ON p.t = f.t AND p.prefix = f.prefix, n
         ),
         st AS (
+            -- plain commutative sums, mirroring the engine's bounded-state
+            -- per-depth moment aggregate (order differences are last-ulp)
             SELECT t, count(*) AS cnt,
-                   list_sum(list(r ORDER BY seq_id)) AS s1,
-                   list_sum(list(r * r ORDER BY seq_id)) AS s2,
-                   len(list_distinct(list(r))) = 1 AS zv
+                   sum(r) AS s1,
+                   sum(r * r) AS s2,
+                   count(DISTINCT r) = 1 AS zv
             FROM rar GROUP BY t
         ),
         z AS (

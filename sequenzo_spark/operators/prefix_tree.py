@@ -139,10 +139,12 @@ def prefix_divergence(
       first_divergence_t = smallest such p, 0 if none  (1-indexed, :282)
 
     Output: seq_id, std_score (null when no valid window), diverged,
-    first_divergence_t. Per-depth moment sums fold in seq_id order and the
-    per-seq window scan folds in depth order — bit-deterministic at any
-    parallelism. Variable-length inputs generalize the reference's equal-T
-    requirement: depth-t stats cover the sequences long enough to reach t."""
+    first_divergence_t. Per-depth moments are plain partial-aggregating
+    sums (bounded task state; commutative-sum order costs at most last-ulp
+    bits, inside the published rounding) and the per-seq window scan folds
+    in depth order. Variable-length inputs generalize the reference's
+    equal-T requirement: depth-t stats cover the sequences long enough to
+    reach t."""
     if min_t < 1 or window < 1:
         raise ValueError("min_t and window must be >= 1")
     pfx = _prefix_rows(df, seq_col, order_col, state_col)
@@ -166,23 +168,17 @@ def prefix_divergence(
         # without the cache the window+join chain runs twice
         rar = rar.persist()
         _LIVE_PREFIX_CACHES.append(rar)
-    # per-depth moments from an ordered fold (deterministic bits)
+    # per-depth moments as plain partial-aggregating sums: O(1) state per
+    # task (the previous ordered-fold collect_list held all N sequences'
+    # rarities in ONE aggregation buffer — an OOM at the scale this module
+    # targets). A commutative double sum differs from the ordered fold
+    # only in last-ulp bits, well inside the published rounding precision;
+    # zero-variance depths stay an EXACT distinct-count test.
     stats = rar.groupBy("t").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.array_sort(
-            F.collect_list(F.struct(F.col("seq_id").alias("i"), F.col("r")))
-        ).alias("_a"),
-    )
-    rs = F.transform(F.col("_a"), lambda s: s["r"])
-    s1 = F.aggregate(rs, F.lit(0.0), lambda a, x: a + x)
-    s2 = F.aggregate(rs, F.lit(0.0), lambda a, x: a + x * x)
-    zero_var = F.size(F.array_distinct(rs)) == 1
-    stats = stats.select(
-        "t",
-        "cnt",
-        s1.alias("s1"),
-        s2.alias("s2"),
-        zero_var.alias("zv"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).alias("s2"),
+        (F.countDistinct("r") == 1).alias("zv"),
     )
     m = F.col("s1") / F.col("cnt")
     var = (
@@ -250,7 +246,8 @@ def prefix_rarity(
     state_col: str = "state",
     group_col: str | None = None,
 ) -> DataFrame:
-    """Per sequence: rarity_score = Σ_t −ln(freq(prefix_t)/N) and
+    """Per sequence: rarity_score = Σ_t −ln(freq(prefix_t)/N + 1e-10)
+    (the reference's epsilon, individual_level_indicators.py:580) and
     path_uniqueness = #{t : freq(prefix_t) == 1}.
 
     ``group_col`` (a per-turn column, constant within a sequence) switches
@@ -280,7 +277,13 @@ def prefix_rarity(
         joined = joined.join(F.broadcast(n_seqs), gcols)
     else:
         joined = joined.crossJoin(F.broadcast(n_seqs))
-    rar = -F.log(F.col("freq").cast("double") / F.col("_n").cast("double"))
+    # the reference adds 1e-10 inside the log (compute_prefix_rarity_score,
+    # individual_level_indicators.py:580) — keep it for parity with both
+    # the reference and prefix_divergence's rarity path
+    rar = -F.log(
+        F.col("freq").cast("double") / F.col("_n").cast("double")
+        + F.lit(1e-10)
+    )
     per_seq = joined.groupBy("seq_id", *gcols).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("t").alias("t"), rar.alias("r")))

@@ -179,10 +179,12 @@ def frequent_subsequences(
     out = out.crossJoin(F.broadcast(tot)).withColumn(
         "support", F.col("n_seqs") / F.col("_tot")
     )
-    if min_support_ratio is not None:
-        out = out.filter(F.col("support") >= float(min_support_ratio))
+    # the reference ignores min_support_ratio whenever min_support is
+    # given (core.py:672-676) — mirror that precedence exactly
     if min_support is not None:
         out = out.filter(F.col("n_seqs") >= float(min_support))
+    elif min_support_ratio is not None:
+        out = out.filter(F.col("support") >= float(min_support_ratio))
     return out.select("subseq", "k", "n_seqs", "support")
 
 
@@ -308,7 +310,9 @@ def compare_group_subsequences(
     (scipy.chi2_contingency's default behavior, which the reference calls).
 
     ``groups``: (seq_id, group) — one row per sequence. Output: subseq,
-    statistic, dof, n_present, n_total. The p-value step is left to the
+    statistic, dof, n_present, n_total. Patterns present in zero or ALL
+    sequences are dropped (the reference only tests 0 < total_present < N
+    and skips degenerate contingencies). The p-value step is left to the
     caller (the reference delegates it to scipy's chi2 CDF); ranking by
     statistic at fixed dof gives the same ordering."""
     pres = count_subsequence_occurrences(
@@ -334,18 +338,23 @@ def compare_group_subsequences(
 
     def term(obs, rtot):
         exp = ct * rtot / F.col("nt")
-        # scipy's Yates moves observed 0.5 toward expected via
-        # sign(exp−obs): a 0 < |diff| < 0.5 overshoots and still
-        # contributes (0.5−|diff|)², but an EXACTLY-zero diff gets no
-        # correction at all (sign(0) == 0).
-        d0 = F.abs(obs - exp)
-        d = F.when(d0 == 0, F.lit(0.0)).otherwise(d0 - yates)
+        # scipy >= 1.7 clamps Yates' correction to min(0.5, |diff|)
+        # (gh-13875): observed moves toward expected by at most |diff|,
+        # so a 0 < |diff| < 0.5 cell contributes exactly 0 — hence the
+        # clamped form max(|diff| − 0.5, 0), which also covers diff == 0.
+        d = F.greatest(F.abs(obs - exp) - yates, F.lit(0.0))
         return F.when(exp > 0, d * d / exp).otherwise(F.lit(0.0))
 
     per_group = term(F.col("obs1"), F.col("r1")) + term(F.col("obs0"), F.col("r0"))
-    return cells.groupBy("subseq").agg(
+    out = cells.groupBy("subseq").agg(
         F.sum(per_group).alias("statistic"),
         (F.first("ng") - 1).cast("long").alias("dof"),
         F.first("r1").cast("long").alias("n_present"),
         F.first("nt").cast("long").alias("n_total"),
+    )
+    # The reference only runs the test when 0 < total_present < N
+    # (core.py:785 guards the degenerate all-present / none-present
+    # patterns); mirror that by dropping such rows entirely.
+    return out.filter(
+        (F.col("n_present") > 0) & (F.col("n_present") < F.col("n_total"))
     )

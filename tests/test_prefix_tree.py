@@ -100,7 +100,7 @@ def test_rarity_matches_reference_formula(spark):
     got = {r["seq_id"]: r for r in prefix_rarity(_df(spark, seqs)).collect()}
     for i, seq in enumerate(seqs):
         want_score = sum(
-            -math.log(freq[t][tuple(seq[:t])] / N)
+            -math.log(freq[t][tuple(seq[:t])] / N + 1e-10)
             for t in range(1, len(seq) + 1)
         )
         want_uniq = sum(
@@ -128,19 +128,24 @@ def test_rarity_grouped(spark):
     for sid in ("s0", "s1"):
         assert got[sid]["path_uniqueness"] == 1
         assert got[sid]["rarity_score"] == pytest.approx(
-            -math.log(2 / 2) - math.log(1 / 2)
+            -math.log(2 / 2 + 1e-10) - math.log(1 / 2 + 1e-10)
         )
     # g1 = {s2:[A,B], s3:[B,B]}: fully unique paths
     for sid in ("s2", "s3"):
         assert got[sid]["path_uniqueness"] == 2
-        assert got[sid]["rarity_score"] == pytest.approx(-2 * math.log(1 / 2))
+        assert got[sid]["rarity_score"] == pytest.approx(
+            -2 * math.log(1 / 2 + 1e-10)
+        )
 
 
 def test_variable_lengths_and_zero_normalization(spark):
-    # single sequence: every prefix has freq == N == 1 → score -0.0 → 0.0
+    # single sequence: every prefix has freq == N == 1 → per-term
+    # -ln(1 + 1e-10) ≈ -1e-10 (the reference's epsilon makes the
+    # all-shared score a hair below zero, not exactly 0)
     got = prefix_rarity(_df(spark, [["A", "B", "C"]])).collect()[0]
-    assert got["rarity_score"] == 0.0
-    assert math.copysign(1.0, got["rarity_score"]) == 1.0  # not -0.0
+    assert got["rarity_score"] == pytest.approx(
+        3 * -math.log(1 + 1e-10), abs=1e-15
+    )
     assert got["path_uniqueness"] == 3
 
 

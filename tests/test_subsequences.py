@@ -206,6 +206,60 @@ def test_chisq_unbalanced(spark):
     assert r["statistic"] == pytest.approx(4.5)
 
 
+def test_chisq_small_diff_clamped_to_zero(spark):
+    """Fractional expected counts with 0 < |obs-exp| < 0.5: scipy >= 1.7
+    clamps Yates' correction to min(0.5, |d|), so the statistic is exactly
+    0 (the pre-1.7 overshoot form would give (0.5-|d|)^2 terms > 0)."""
+    # g0: 3 seqs (2 with A), g1: 2 seqs (1 with A) → r1=3, nt=5
+    # exp present g0 = 3*3/5 = 1.8, obs 2 → |d| = 0.2 < 0.5 everywhere
+    seqs = [["A"], ["A"], ["B"], ["A"], ["B"]]
+    ev = _events_df(spark, seqs)
+    groups = spark.createDataFrame(
+        [(f"s{i}", "g0" if i < 3 else "g1") for i in range(5)],
+        "seq_id string, group string",
+    )
+    r = {
+        x["subseq"]: x
+        for x in compare_group_subsequences(ev, groups, ["(A)"]).collect()
+    }["(A)"]
+    assert r["statistic"] == 0.0
+
+
+def test_chisq_degenerate_patterns_skipped(spark):
+    """Patterns present in zero or ALL sequences are dropped — the
+    reference only tests 0 < total_present < N."""
+    seqs = [["A", "B"], ["A"], ["A", "B"], ["A"]]
+    ev = _events_df(spark, seqs)
+    groups = spark.createDataFrame(
+        [(f"s{i}", "g0" if i < 2 else "g1") for i in range(4)],
+        "seq_id string, group string",
+    )
+    out = {
+        r["subseq"]: r
+        for r in compare_group_subsequences(
+            ev, groups, ["(A)", "(B)", "(C)"]
+        ).collect()
+    }
+    assert "(A)" not in out  # present in all 4
+    assert "(C)" not in out  # present in none
+    assert out["(B)"]["n_present"] == 2
+
+
+def test_min_support_takes_precedence_over_ratio(spark):
+    """When both thresholds are given the reference ignores the ratio
+    (core.py:672-676)."""
+    seqs = [["A", "B"], ["A"], ["B"], ["B"]]
+    df = _events_df(spark, seqs)
+    out = {
+        r["subseq"]: r["n_seqs"]
+        for r in frequent_subsequences(
+            df, max_k=1, min_support=2.0, min_support_ratio=0.9
+        ).collect()
+    }
+    # ratio 0.9 alone would keep nothing; min_support=2 keeps both events
+    assert out == {"(A)": 2.0, "(B)": 3.0}
+
+
 def test_parse_subsequence():
     assert parse_subsequence("(A)-(B)") == ["A", "B"]
     assert parse_subsequence("(view>click)") == ["view>click"]
