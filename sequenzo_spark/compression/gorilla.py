@@ -1,54 +1,72 @@
 """Gorilla compression — delta-of-delta timestamps + XOR float64 values.
 
-Scheme follows the Facebook Gorilla paper (Pelkonen et al., VLDB 2015,
+Codes follow the Facebook Gorilla paper (Pelkonen et al., VLDB 2015,
 "Gorilla: A Fast, Scalable, In-Memory Time Series Database", §4.1), public
 knowledge; no reference-repo analog exists (SURVEY.md §2.11).
 
-Timestamp stream (int64 microseconds):
-  [t0: 64 bits raw] [d0 = t1−t0: 64 bits two's complement] then per point
-  dod = d_i − d_{i−1} prefix-coded:
-    dod == 0            → '0'
-    dod ∈ [−63, 64]     → '10'   + 7  bits (dod+63)
-    dod ∈ [−255, 256]   → '110'  + 9  bits (dod+255)
-    dod ∈ [−2047, 2048] → '1110' + 12 bits (dod+2047)
-    else                → '1111' + 64 bits two's complement
-  (the else branch is 64-bit, not the paper's 32, because microsecond
-  transcripts can jump days — documented deviation.)
+Layout deviation (documented): the paper interleaves control bits and
+payloads in one append-only stream — the right shape for a live in-memory
+TSDB, but it forces a token-at-a-time decode (each codeword's position
+depends on every previous codeword's length). This engine writes immutable
+chunk blobs from batch jobs, so it stores the SAME codes in a
+struct-of-streams layout: [header][fixed-width control stream][fixed-width
+window heads][payload bits]. Every stream is independently vectorizable —
+encode AND decode are NumPy array programs (cumulative bit offsets + a
+two-word gather; values reconstruct via one bitwise-XOR prefix scan), with
+no per-point Python. Cost vs the interleaved layout is ≤1 bit/point
+(2-bit control for runs of '0' codes).
 
-Value stream (float64 bit patterns):
-  [v0: 64 bits raw]; per point x = u_i XOR u_{i−1}:
-    x == 0                              → '0'
-    x fits previous (leading,length) wnd → '10' + length bits
-    else                                → '11' + 5b leading(≤31) + 6b (sig−1)
-                                           + sig bits
+Timestamp blob (int64 microseconds), n points:
+  n == 0 → empty;  n == 1 → [t0: 8B]
+  n ≥ 2  → [t0: 8B][d0 = t1−t0: 8B]
+           [ctrl: 2 bits × (n−2), byte-padded]
+           [payloads, byte-padded]
+  per point dod = d_i − d_{i−1}; ctrl class → payload width:
+    0: dod == 0            → 0 bits
+    1: dod ∈ [−63, 64]     → 7  bits (dod+63)
+    2: dod ∈ [−2047, 2048] → 12 bits (dod+2047)
+    3: else                → 64 bits two's complement
+  (the paper's ±255 class is folded into the 12-bit class — 3 extra bits
+  for those points; the 64-bit else branch — vs the paper's 32 — is kept
+  because microsecond transcripts can jump days.)
 
-Encoding is numpy-vectorized: classification, bit-lengths and the final
-bit-packing (word-level ``np.bitwise_or.at`` scatter) are array ops; only the
-value-window control decision is a tight scalar loop (inherent sequential
-dependency on the previous window). Decoding is a sequential bit reader.
-Both are bit-exact inverses — the rollup tiers' bit-exactness criterion is
-tested through an encode∘decode identity on the real tier output.
+Value blob (float64 bit patterns), n points:
+  n == 0 → empty
+  n ≥ 1  → [u0: 8B][ctrl: 2 bits × (n−1)][heads: 11 bits × n_new]
+           [payloads]
+  per point x = u_i XOR u_{i−1}; ctrl:
+    0: x == 0                            → no payload
+    1: x fits previous (lead,sig) window → sig_w payload bits
+    2: new window                        → 11-bit head: 5b leading(≤31) +
+                                           6b (sig−1); sig payload bits
+
+Both directions are bit-exact inverses — the rollup tiers' bit-exactness
+criterion is tested through an encode∘decode identity on the real tier
+output plus hypothesis property tests.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-_U64 = np.uint64
 _MASK64 = (1 << 64) - 1
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
 
 # ----------------------------------------------------------- bit packing
 
-def _pack_bits(codes: np.ndarray, nbits: np.ndarray) -> tuple[bytes, int]:
+def _pack_bits(codes: np.ndarray, nbits: np.ndarray) -> bytes:
     """Pack (code, nbits) pairs MSB-first into a byte string. Vectorized:
     every code lands in at most two 64-bit words via scatter-OR."""
     codes = codes.astype(np.uint64, copy=True)
-    nbits = nbits.astype(np.int64)
+    nbits = np.asarray(nbits, dtype=np.int64)
+    if len(codes) == 0:
+        return b""
     # mask codes to their width (width 64 keeps all bits)
     lt64 = nbits < 64
-    masks = np.full(len(codes), _U64(_MASK64), dtype=np.uint64)
-    masks[lt64] = (_U64(1) << nbits[lt64].astype(np.uint64)) - _U64(1)
+    masks = np.full(len(codes), _U64_MAX, dtype=np.uint64)
+    masks[lt64] = (np.uint64(1) << nbits[lt64].astype(np.uint64)) - np.uint64(1)
     codes &= masks
 
     total = int(nbits.sum())
@@ -66,23 +84,62 @@ def _pack_bits(codes: np.ndarray, nbits: np.ndarray) -> tuple[bytes, int]:
         sh2 = (128 - end[spill]).astype(np.uint64)
         np.bitwise_or.at(words, widx[spill] + 1, codes[spill] << sh2)
     nbytes = (total + 7) // 8
-    return words.byteswap().tobytes()[:nbytes], total
+    return words.byteswap().tobytes()[:nbytes]
 
 
-class _BitReader:
-    """MSB-first bit reader over a byte string (single bigint, fast enough
-    for tests and the decompress read path)."""
+def _read_fields(buf: bytes, offs: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Vectorized variable-width MSB-first field gather: field k starts at
+    bit ``offs[k]`` and spans ``widths[k]`` ≤ 64 bits. Each field straddles
+    at most two 64-bit words — one gather + shift/or per side."""
+    k = len(offs)
+    if k == 0:
+        return np.empty(0, dtype=np.uint64)
+    pad = buf + b"\x00" * 16
+    nw = len(pad) // 8
+    words = np.frombuffer(pad[: nw * 8], dtype=">u8").astype(np.uint64)
+    offs = np.asarray(offs, dtype=np.int64)
+    w = np.asarray(widths, dtype=np.int64)
+    widx = offs >> 6
+    rem = (offs & 63).astype(np.uint64)
+    w1 = words[widx]
+    w2 = words[widx + 1]
+    # second-word shift: only meaningful when rem > 0 (np.where discards
+    # the rem == 0 lane, whose clipped shift value is arbitrary)
+    sh2 = np.uint64(64) - np.maximum(rem, np.uint64(1))
+    left = np.where(rem > 0, (w1 << rem) | (w2 >> sh2), w1)
+    vals = left >> np.clip(64 - w, 0, 63).astype(np.uint64)
+    mask = np.where(
+        w >= 64,
+        _U64_MAX,
+        (np.uint64(1) << np.clip(w, 0, 63).astype(np.uint64)) - np.uint64(1),
+    )
+    return vals & mask
 
-    def __init__(self, buf: bytes, total_bits: int | None = None):
-        self._big = int.from_bytes(buf, "big")
-        self._total = len(buf) * 8
-        self.pos = 0
-        self.limit = total_bits if total_bits is not None else self._total
 
-    def read(self, n: int) -> int:
-        shift = self._total - self.pos - n
-        self.pos += n
-        return (self._big >> shift) & ((1 << n) - 1)
+def _pack_ctrl2(ctrl: np.ndarray) -> bytes:
+    """Pack 2-bit control codes MSB-first (4 per byte)."""
+    n = len(ctrl)
+    if n == 0:
+        return b""
+    pad = (-n) % 4
+    c = np.concatenate([ctrl.astype(np.uint8), np.zeros(pad, dtype=np.uint8)])
+    c = c.reshape(-1, 4)
+    return (
+        (c[:, 0] << 6) | (c[:, 1] << 4) | (c[:, 2] << 2) | c[:, 3]
+    ).astype(np.uint8).tobytes()
+
+
+def _unpack_ctrl2(buf: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=2 * n)
+    return (bits[0::2] << 1) | bits[1::2]
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized exact bit_length for uint64 (searchsorted over powers of
+    two — no float round-off)."""
+    return np.searchsorted(_POW2, x, side="right").astype(np.int64)
 
 
 def _signed(u: int, bits: int = 64) -> int:
@@ -91,99 +148,106 @@ def _signed(u: int, bits: int = 64) -> int:
 
 # ------------------------------------------------------------ timestamps
 
+_TS_WIDTHS = np.array([0, 7, 12, 64], dtype=np.int64)
+
+
 def encode_timestamps(ts: np.ndarray) -> tuple[bytes, int, int]:
     """Encode int64 (microsecond) timestamps. Returns (blob, total_bits, n)."""
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
     if n == 0:
         return b"", 0, 0
+    head = int(ts[0]) & _MASK64
     if n == 1:
-        return _pack_bits(
-            np.array([int(ts[0]) & _MASK64], dtype=np.uint64),
-            np.array([64]),
-        )[0], 64, 1
-
+        return head.to_bytes(8, "big"), 64, 1
     deltas = np.diff(ts)
+    header = head.to_bytes(8, "big") + (int(deltas[0]) & _MASK64).to_bytes(
+        8, "big"
+    )
+    if n == 2:
+        return header, 128, 2
     dods = np.diff(deltas)  # n-2 entries
-    codes = [
-        np.array(
-            [int(ts[0]) & _MASK64, int(deltas[0]) & _MASK64], dtype=np.uint64
-        )
-    ]
-    bits = [np.array([64, 64], dtype=np.int64)]
-    if len(dods):
-        c = np.zeros(len(dods), dtype=np.uint64)
-        b = np.zeros(len(dods), dtype=np.int64)
-        zero = dods == 0
-        b[zero] = 1  # '0'
-        r1 = ~zero & (dods >= -63) & (dods <= 64)
-        c[r1] = (0b10 << 7) | (dods[r1] + 63).astype(np.uint64)
-        b[r1] = 9
-        r2 = ~zero & ~r1 & (dods >= -255) & (dods <= 256)
-        c[r2] = (0b110 << 9) | (dods[r2] + 255).astype(np.uint64)
-        b[r2] = 12
-        r3 = ~zero & ~r1 & ~r2 & (dods >= -2047) & (dods <= 2048)
-        c[r3] = (0b1110 << 12) | (dods[r3] + 2047).astype(np.uint64)
-        b[r3] = 16
-        r4 = ~zero & ~r1 & ~r2 & ~r3
-        if r4.any():
-            # '1111' prefix + 64-bit two's complement, packed as two codes
-            # would overflow one word; emit prefix and payload separately.
-            pre = np.full(r4.sum(), 0b1111, dtype=np.uint64)
-            # interleave: build combined arrays in original order
-            c4 = dods[r4].astype(np.int64).astype(np.uint64)
-            # expand arrays: for r4 positions we need two entries
-            idx = np.nonzero(r4)[0]
-            c_list, b_list = [], []
-            last = 0
-            for i, j in enumerate(idx):
-                c_list.append(c[last:j])
-                b_list.append(b[last:j])
-                c_list.append(np.array([0b1111, c4[i]], dtype=np.uint64))
-                b_list.append(np.array([4, 64], dtype=np.int64))
-                last = j + 1
-            c_list.append(c[last:])
-            b_list.append(b[last:])
-            # drop zero-width entries left at r4 slots (already replaced)
-            c = np.concatenate(c_list)
-            b = np.concatenate(b_list)
-            keep = b > 0
-            c, b = c[keep], b[keep]
-        codes.append(c)
-        bits.append(b)
-    allc = np.concatenate(codes)
-    allb = np.concatenate(bits)
-    blob, total = _pack_bits(allc, allb)
-    return blob, total, n
+    c0 = dods == 0
+    c1 = ~c0 & (dods >= -63) & (dods <= 64)
+    c2 = ~c0 & ~c1 & (dods >= -2047) & (dods <= 2048)
+    c3 = ~c0 & ~c1 & ~c2
+    ctrl = np.zeros(n - 2, dtype=np.uint8)
+    ctrl[c1] = 1
+    ctrl[c2] = 2
+    ctrl[c3] = 3
+    pay = np.zeros(n - 2, dtype=np.uint64)
+    pay[c1] = (dods[c1] + 63).astype(np.uint64)
+    pay[c2] = (dods[c2] + 2047).astype(np.uint64)
+    pay[c3] = dods[c3].view(np.uint64)  # two's complement reinterpret
+    blob = header + _pack_ctrl2(ctrl) + _pack_bits(pay, _TS_WIDTHS[ctrl])
+    return blob, len(blob) * 8, n
 
 
 def decode_timestamps(blob: bytes, total_bits: int, n: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.int64)
     if n == 0:
-        return out
-    r = _BitReader(blob, total_bits)
-    out[0] = _signed(r.read(64))
+        return np.empty(0, dtype=np.int64)
+    t0 = _signed(int.from_bytes(blob[:8], "big"))
     if n == 1:
-        return out
-    delta = _signed(r.read(64))
-    out[1] = out[0] + delta
-    for i in range(2, n):
-        if r.read(1) == 0:
-            dod = 0
-        elif r.read(1) == 0:
-            dod = r.read(7) - 63
-        elif r.read(1) == 0:
-            dod = r.read(9) - 255
-        elif r.read(1) == 0:
-            dod = r.read(12) - 2047
-        else:
-            dod = _signed(r.read(64))
-        delta += dod
-        out[i] = out[i - 1] + delta
+        return np.array([t0], dtype=np.int64)
+    d0 = _signed(int.from_bytes(blob[8:16], "big"))
+    if n == 2:
+        return np.array([t0, t0 + d0], dtype=np.int64)
+    cb = (2 * (n - 2) + 7) // 8
+    ctrl = _unpack_ctrl2(blob[16 : 16 + cb], n - 2)
+    w = _TS_WIDTHS[ctrl]
+    offs = np.cumsum(w) - w
+    pay = _read_fields(blob[16 + cb :], offs, w)
+    dod = np.zeros(n - 2, dtype=np.int64)
+    m1 = ctrl == 1
+    m2 = ctrl == 2
+    m3 = ctrl == 3
+    dod[m1] = pay[m1].astype(np.int64) - 63
+    dod[m2] = pay[m2].astype(np.int64) - 2047
+    dod[m3] = pay[m3].view(np.int64)
+    deltas = np.concatenate(
+        [np.array([d0], dtype=np.int64), d0 + np.cumsum(dod)]
+    )
+    out = np.empty(n, dtype=np.int64)
+    out[0] = t0
+    out[1:] = t0 + np.cumsum(deltas)
     return out
 
 
 # ---------------------------------------------------------------- values
+
+def _value_windows(lzn: np.ndarray, tzn: np.ndarray) -> np.ndarray:
+    """Window-reset positions for the nonzero-XOR subsequence.
+
+    A point reuses the live window (L, T) iff lz ≥ L and tz ≥ T; the next
+    reset after j is therefore the first k > j with lzn[k] < L or
+    tzn[k] < T. Those "next index with value below v" tables are built
+    vectorized (one reverse running-min per distinct threshold, ≤ 32 lz +
+    64 tz rows, cached), so the chain walk itself is O(#resets) trivial
+    steps — the only scalar loop in the codec, and it touches resets, not
+    points."""
+    m = len(lzn)
+    ar = np.arange(m, dtype=np.int64)
+    cache: dict[tuple[str, int], np.ndarray] = {}
+
+    def next_below(tag: str, arr: np.ndarray, v: int) -> np.ndarray:
+        r = cache.get((tag, v))
+        if r is None:
+            w = np.where(arr < v, ar, m)
+            r = np.minimum.accumulate(w[::-1])[::-1]
+            cache[(tag, v)] = r
+        return r
+
+    resets = []
+    j = 0
+    while j < m:
+        resets.append(j)
+        if j + 1 >= m:
+            break
+        nl = next_below("lz", lzn, int(lzn[j]))
+        nt = next_below("tz", tzn, int(tzn[j]))
+        j = min(int(nl[j + 1]), int(nt[j + 1]))
+    return np.asarray(resets, dtype=np.int64)
+
 
 def encode_values(vals: np.ndarray) -> tuple[bytes, int, int]:
     """Encode float64 values (XOR scheme). Returns (blob, total_bits, n)."""
@@ -192,68 +256,77 @@ def encode_values(vals: np.ndarray) -> tuple[bytes, int, int]:
     if n == 0:
         return b"", 0, 0
     u = vals.view(np.uint64)
-    xors = (u[1:] ^ u[:-1]) if n > 1 else np.array([], dtype=np.uint64)
-    codes = np.empty(2 * n, dtype=np.uint64)
-    bits = np.empty(2 * n, dtype=np.int64)
-    codes[0], bits[0] = u[0], 64
-    k = 1
-    lead_w, sig_w = -1, -1  # current window (invalid)
-    xl = xors.tolist()
-    for x in xl:
-        if x == 0:
-            codes[k], bits[k] = 0, 1
-            k += 1
-            continue
-        lz = 64 - x.bit_length()
-        if lz > 31:
-            lz = 31
-        tz = (x & -x).bit_length() - 1
-        sig = 64 - lz - tz
-        if (
-            lead_w >= 0
-            and lz >= lead_w
-            and 64 - lz - sig >= 64 - lead_w - sig_w
-        ):
-            # fits current window → '10' + sig_w bits (prefix and payload
-            # emitted separately: 2+sig_w may exceed one 64-bit code)
-            payload = (x >> (64 - lead_w - sig_w)) & ((1 << sig_w) - 1)
-            codes[k], bits[k] = 0b10, 2
-            codes[k + 1], bits[k + 1] = payload, sig_w
-            k += 2
-        else:
-            # new window → '11' + 5b lead + 6b (sig-1) + sig bits
-            head = (0b11 << 11) | (lz << 6) | (sig - 1)
-            codes[k], bits[k] = head, 13
-            codes[k + 1] = (x >> tz) & ((1 << sig) - 1)
-            bits[k + 1] = sig
-            k += 2
-            lead_w, sig_w = lz, sig
-    blob, total = _pack_bits(codes[:k], bits[:k])
-    return blob, total, n
+    header = int(u[0]).to_bytes(8, "big")
+    if n == 1:
+        return header, 64, 1
+    x = u[1:] ^ u[:-1]
+    ctrl = np.zeros(n - 1, dtype=np.uint8)
+    idx = np.nonzero(x)[0]
+    m = len(idx)
+    if m == 0:
+        blob = header + _pack_ctrl2(ctrl)
+        return blob, len(blob) * 8, n
+    xnz = x[idx]
+    lzn = np.minimum(64 - _bit_length_u64(xnz), 31)
+    tzn = _bit_length_u64(xnz & (~xnz + np.uint64(1))) - 1
+    sgn = 64 - lzn - tzn  # significant bits
+
+    resets = _value_windows(lzn, tzn)
+    is_new = np.zeros(m, dtype=bool)
+    is_new[resets] = True
+    ctrl[idx] = np.where(is_new, np.uint8(2), np.uint8(1))
+
+    # window parameters broadcast to every nonzero point
+    wi = np.searchsorted(resets, np.arange(m), side="right") - 1
+    L_w = lzn[resets][wi]
+    S_w = sgn[resets][wi]
+    T_w = tzn[resets][wi]
+
+    heads = ((lzn[resets] << 6) | (sgn[resets] - 1)).astype(np.uint64)
+    pay = np.where(is_new, xnz >> tzn.astype(np.uint64), xnz >> T_w.astype(np.uint64))
+    pw = np.where(is_new, sgn, S_w)
+
+    blob = (
+        header
+        + _pack_ctrl2(ctrl)
+        + _pack_bits(heads, np.full(len(resets), 11, dtype=np.int64))
+        + _pack_bits(pay, pw)
+    )
+    return blob, len(blob) * 8, n
 
 
 def decode_values(blob: bytes, total_bits: int, n: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.uint64)
     if n == 0:
-        return out.view(np.float64)
-    r = _BitReader(blob, total_bits)
-    prev = r.read(64)
-    out[0] = prev
-    lead_w, sig_w = 0, 0
-    for i in range(1, n):
-        if r.read(1) == 0:
-            out[i] = prev
-            continue
-        if r.read(1) == 0:  # '10' reuse window
-            payload = r.read(sig_w)
-            x = payload << (64 - lead_w - sig_w)
-        else:  # '11' new window
-            lead_w = r.read(5)
-            sig_w = r.read(6) + 1
-            payload = r.read(sig_w)
-            x = payload << (64 - lead_w - sig_w)
-        prev ^= x
-        out[i] = prev
+        return np.empty(0, dtype=np.float64)
+    u0 = np.uint64(int.from_bytes(blob[:8], "big"))
+    if n == 1:
+        return np.array([u0], dtype=np.uint64).view(np.float64)
+    cb = (2 * (n - 1) + 7) // 8
+    ctrl = _unpack_ctrl2(blob[8 : 8 + cb], n - 1)
+    new = ctrl == 2
+    n_new = int(new.sum())
+    x = np.zeros(n - 1, dtype=np.uint64)
+    if n_new:
+        hb = (11 * n_new + 7) // 8
+        heads = _read_fields(
+            blob[8 + cb : 8 + cb + hb],
+            np.arange(n_new, dtype=np.int64) * 11,
+            np.full(n_new, 11, dtype=np.int64),
+        )
+        L = (heads >> np.uint64(6)).astype(np.int64)
+        S = (heads & np.uint64(63)).astype(np.int64) + 1
+        widx = np.clip(np.cumsum(new) - 1, 0, None)
+        Lp = L[widx]
+        Sp = S[widx]
+        w = np.where(ctrl == 0, 0, Sp)
+        offs = np.cumsum(w) - w
+        pay = _read_fields(blob[8 + cb + hb :], offs, w)
+        nz = ctrl != 0
+        x[nz] = pay[nz] << (64 - Lp[nz] - Sp[nz]).astype(np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = u0
+    out[1:] = x
+    np.bitwise_xor.accumulate(out, out=out)
     return out.view(np.float64)
 
 

@@ -382,9 +382,7 @@ def run_cascade(
         # Empty input (or an explicit empty encode_dates): nothing was
         # written, so there is no encode/ directory for the tier stages to
         # read. Record the downstream stages as run-with-zero-rows.
-        for stage in ["rollup_1m", "rollup_1h1d"] + (
-            ["gorilla"] if compress else []
-        ):
+        for stage in ["rollup_1m", "rollup_1h1d"]:
             res.stages_run.append(stage)
             res.partitions_skipped[stage] = 0
             res.partitions_done[stage] = 0
@@ -435,10 +433,17 @@ def run_cascade(
     def build_1h1d(_sub, batch):
         days = [str(b) for b in batch]
         h_tables = {}
+        low_sc = None
         for tname, fn in mergers.items():
             low = spark.read.parquet(f"{out_root}/rollup_1m/{tname}").filter(
                 F.col("part_date").cast("string").isin(days)
             )
+            if compress and tname == "state_counts":
+                # the 1m state_counts frame feeds BOTH the 1h merge and the
+                # gorilla point union — cache it so the batch scans the 1m
+                # parquet once instead of twice
+                low = low.persist()
+                low_sc = low
             h = fn(low, "1h").withColumn(
                 "part_date", F.to_date("time_bucket").cast("string")
             )
@@ -448,7 +453,51 @@ def run_cascade(
             out[f"rollup_1d/{tname}"] = fn(h_tables[tname], "1d").withColumn(
                 "part_date", F.to_date("time_bucket").cast("string")
             )
-        return out, lambda: [df.unpersist() for df in h_tables.values()]
+        if compress:
+            # ---- fused gorilla chunking (round-5) ------------------------
+            # Through round 4 this was a separate stage that RE-READ all
+            # three tier tables from disk (another full 1m scan + shuffle
+            # plus a stage's fixed driver cost — the fixed floor is what
+            # caps scaling efficiency, BENCH/BASELINE.md). The batch already
+            # holds every input in memory: 1m state_counts (cached above),
+            # the persisted 1h frames, and the 1d frames — so one Gorilla
+            # chunk per (tier, conv_bucket, state, day) is built here and
+            # commits atomically with the tiers it encodes. Stored blobs
+            # are the tiers' durable point format (north rule);
+            # decompression is bit-exact (compression/gorilla.py).
+            from sequenzo_spark.compression.gorilla import (
+                gorilla_compress_chunks,
+            )
+
+            def _pts(df, tier):
+                return df.select(
+                    F.lit(tier).alias("tier"),
+                    "conv_bucket",
+                    "state",
+                    F.col("part_date").cast("string").alias("part_date"),
+                    F.col("time_bucket").alias("ts"),
+                    F.col("w_sum").alias("value"),
+                )
+
+            pts = (
+                _pts(low_sc, "1m")
+                .unionByName(_pts(h_tables["state_counts"], "1h"))
+                .unionByName(_pts(out["rollup_1d/state_counts"], "1d"))
+            )
+            out["gorilla/chunks"] = gorilla_compress_chunks(
+                pts,
+                key_cols=["tier", "conv_bucket", "state", "part_date"],
+                ts_col="ts",
+                value_col="value",
+            )
+
+        def cleanup():
+            for df in h_tables.values():
+                df.unpersist()
+            if low_sc is not None:
+                low_sc.unpersist()
+
+        return out, cleanup
 
     run_stage(
         "rollup_1h1d",
@@ -458,53 +507,6 @@ def run_cascade(
         None,
         batch_dates,
     )
-
-    # ---- stage: gorilla — compress all three tiers' points to chunks -----
-    # One Gorilla chunk per (tier, conv_bucket, state, day): timestamps =
-    # the tier's time buckets, values = w_sum. Stored blobs are the tiers'
-    # durable point format (north rule); decompression is bit-exact
-    # (compression/gorilla.py). One stage for all tiers: the three reads
-    # union cheaply and the applyInPandas groups carry a tier key — three
-    # separate stages tripled the fixed orchestration cost.
-    if compress:
-        from sequenzo_spark.compression.gorilla import gorilla_compress_chunks
-
-        dates = _list_part_dates(f"{out_root}/rollup_1m/state_counts")
-
-        def build_gorilla(_sub, batch):
-            days = [str(b) for b in batch]
-            parts = []
-            for tier in ("1m", "1h", "1d"):
-                src = spark.read.parquet(
-                    f"{out_root}/rollup_{tier}/state_counts"
-                ).filter(F.col("part_date").cast("string").isin(days))
-                parts.append(
-                    src.select(
-                        F.lit(tier).alias("tier"),
-                        "conv_bucket",
-                        "state",
-                        F.col("part_date").cast("string").alias("part_date"),
-                        F.col("time_bucket").alias("ts"),
-                        F.col("w_sum").alias("value"),
-                    )
-                )
-            pts = parts[0].unionByName(parts[1]).unionByName(parts[2])
-            chunks = gorilla_compress_chunks(
-                pts,
-                key_cols=["tier", "conv_bucket", "state", "part_date"],
-                ts_col="ts",
-                value_col="value",
-            )
-            return {"points_gorilla": chunks}
-
-        run_stage(
-            "gorilla",
-            dates,
-            lambda df, b: df,
-            build_gorilla,
-            None,
-            batch_dates,
-        )
 
     return res
 

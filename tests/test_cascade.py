@@ -34,9 +34,7 @@ def test_cascade_end_to_end(spark, raw, tmp_path):
     res = run_cascade(
         spark, raw, out, states=ROLE_ALPHABET, salt_buckets=SALT, job_id="j1"
     )
-    assert res.stages_run == [
-        "encode", "rollup_1m", "rollup_1h1d", "gorilla",
-    ]
+    assert res.stages_run == ["encode", "rollup_1m", "rollup_1h1d"]
     assert all(v > 0 for v in res.rows_out.values())
 
     encoded = spark.read.parquet(f"{out}/encode")
@@ -87,7 +85,9 @@ def test_cascade_end_to_end(spark, raw, tmp_path):
     # 5. Gorilla chunks decode back to the exact tier points (bit-exact)
     from sequenzo_spark.compression.gorilla import gorilla_decompress_chunks
 
-    chunks = spark.read.parquet(f"{out}/gorilla").filter(F.col("tier") == "1h")
+    chunks = spark.read.parquet(f"{out}/gorilla/chunks").filter(
+        F.col("tier") == "1h"
+    )
     assert chunks.count() > 0
     back = gorilla_decompress_chunks(
         chunks,
@@ -134,7 +134,7 @@ def test_kill_and_resume_identical_output(spark, raw, tmp_path):
         "rollup_1m/state_counts", "rollup_1m/transitions", "rollup_1m/spells",
         "rollup_1h/state_counts", "rollup_1h/transitions", "rollup_1h/spells",
         "rollup_1d/state_counts", "rollup_1d/transitions", "rollup_1d/spells",
-        "gorilla",
+        "gorilla/chunks",
     ):
         a = spark.read.parquet(f"{clean_out}/{table}")
         b = spark.read.parquet(f"{crash_out}/{table}")
@@ -145,9 +145,7 @@ def test_kill_and_resume_identical_output(spark, raw, tmp_path):
     m = Manifest(spark, f"{crash_out}/_manifest").stats("crash")
     rows = m.collect()
     assert all(r.rows_out >= 0 and r.wall_ms >= 0 for r in rows)
-    assert {r.stage for r in rows} == {
-        "encode", "rollup_1m", "rollup_1h1d", "gorilla",
-    }
+    assert {r.stage for r in rows} == {"encode", "rollup_1m", "rollup_1h1d"}
 
 
 def test_cascade_empty_input(spark, raw, tmp_path):

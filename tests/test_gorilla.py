@@ -51,7 +51,8 @@ def test_ts_single_and_pair():
 def test_vals_constant_compresses_to_bits():
     vals = np.full(100, 3.14159)
     blob = _roundtrip_vals(vals)
-    assert len(blob) <= 8 + 100 // 8 + 2  # 64-bit header + ~1 bit/pt
+    # 64-bit header + 2-bit SoA control per point (no heads, no payloads)
+    assert len(blob) <= 8 + (2 * 99 + 7) // 8
 
 
 def test_vals_special_floats():
