@@ -862,6 +862,128 @@ def q_spell_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suffix_tree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """System-level suffix-tree indicators, position mode: distinct
+    SUBSTRING count per length t and merging factor n(t)/n(t−1)
+    (suffix_tree/system_level_indicators.py compute_suffix_count :110 /
+    compute_merging_factor :128 — the reference tree inserts every suffix
+    so its keys are the corpus substrings). max_len=6 bounds the
+    quadratic substring family to n-gram statistics (identical values for
+    t ≤ 6)."""
+    from sequenzo_spark.operators.suffix_tree import suffix_tree_stats
+
+    turns = _event_turns(spark, sf_dir)
+    out = suffix_tree_stats(turns, max_len=6)
+    return out.select(
+        "t", "n_suffixes", F.round("merging_factor", R).alias("merging_factor")
+    )
+
+
+def q_suffix_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individual-level suffix rarity score (Σ −ln(freq/N + 1e-10) over
+    suffix lengths) and path uniqueness
+    (suffix_tree/individual_level_indicators.py :718, :988)."""
+    from sequenzo_spark.operators.suffix_tree import suffix_rarity
+
+    turns = _event_turns(spark, sf_dir)
+    out = suffix_rarity(turns)
+    return out.select(
+        "seq_id", F.round("rarity_score", R).alias("rarity_score"),
+        "path_uniqueness",
+    )
+
+
+def q_suffix_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individual convergence flags via the z-score window method — the
+    suffix mirror of prefix_divergence (IndividualConvergence
+    .compute_converged / compute_standardized_rarity_score,
+    suffix_tree/individual_level_indicators.py:107-726) — window=2
+    consecutive below-(−1.0)-z years from year 1 on."""
+    from sequenzo_spark.operators.suffix_tree import (
+        release_suffix_caches,
+        suffix_convergence,
+    )
+
+    release_suffix_caches()
+    turns = _event_turns(spark, sf_dir)
+    out = suffix_convergence(
+        turns, z_threshold=1.0, min_t=1, window=2, persist_stats=True
+    )
+    return out.select(
+        "seq_id",
+        F.round("std_score", R).alias("std_score"),
+        "converged",
+        "first_convergence_t",
+    )
+
+
+def q_suffix_convergence_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence via the top_proportion selection method (the reference's
+    rank branch, suffix_tree/individual_level_indicators.py:181-205):
+    the floor(0.2·n_valid) smallest aggregated std_scores are flagged;
+    first_convergence_t = earliest year whose window-max z is ≤ the
+    selection threshold (:449-487)."""
+    from sequenzo_spark.operators.suffix_tree import (
+        release_suffix_caches,
+        suffix_convergence,
+    )
+
+    release_suffix_caches()
+    turns = _event_turns(spark, sf_dir)
+    out = suffix_convergence(
+        turns, min_t=1, window=1, method="top_proportion", proportion=0.2,
+        persist_stats=True,
+    )
+    return out.select(
+        "seq_id",
+        F.round("std_score", R).alias("std_score"),
+        "converged",
+        "first_convergence_t",
+    )
+
+
+def q_prefix_divergence_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Divergence via the top_proportion selection method
+    (prefix_tree/individual_level_indicators.py:165-211): the
+    floor(0.2·n_valid) LARGEST aggregated std_scores are flagged
+    (direction high); first_divergence_t = earliest year whose window-min
+    z is ≥ the selection threshold."""
+    from sequenzo_spark.operators.prefix_tree import (
+        prefix_divergence,
+        release_prefix_caches,
+    )
+
+    release_prefix_caches()
+    turns = _event_turns(spark, sf_dir)
+    out = prefix_divergence(
+        turns, min_t=2, window=1, method="top_proportion", proportion=0.2,
+        persist_stats=True,
+    )
+    return out.select(
+        "seq_id",
+        F.round("std_score", R).alias("std_score"),
+        "diverged",
+        "first_divergence_t",
+    )
+
+
+def q_spell_suffix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-based suffix tree (level k = last k spells,
+    suffix_tree/spell_level_indicators.py build_spell_suffix_tree :104 /
+    compute_suffix_count_spell :158 / compute_merging_factor_spell :173):
+    one reversed insert per sequence → distinct sequence-suffix counts —
+    composing spell_table with spell_suffix_stats."""
+    from sequenzo_spark.operators.spells import spell_table
+    from sequenzo_spark.operators.suffix_tree import spell_suffix_stats
+
+    turns = _event_turns(spark, sf_dir)
+    spells = spell_table(turns)
+    out = spell_suffix_stats(spells, order_col="spell_id")
+    return out.select(
+        "k", "n_suffixes", F.round("merging_factor", R).alias("merging_factor")
+    )
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -915,6 +1037,12 @@ QUERIES = {
     "prefix_rarity": q_prefix_rarity,
     "prefix_divergence": q_prefix_divergence,
     "spell_prefix_stats": q_spell_prefix_stats,
+    "suffix_tree_stats": q_suffix_tree_stats,
+    "suffix_rarity": q_suffix_rarity,
+    "suffix_convergence": q_suffix_convergence,
+    "suffix_convergence_topp": q_suffix_convergence_topp,
+    "prefix_divergence_topp": q_prefix_divergence_topp,
+    "spell_suffix_stats": q_spell_suffix_stats,
 }
 
 # ------------------------------------------------------------- oracle SQL
@@ -940,6 +1068,18 @@ grouped AS (
 spells AS (
     SELECT seq_id, spell_id, min(state) AS state, count(*) AS duration
     FROM grouped GROUP BY seq_id, spell_id
+)"""
+
+# suffix rows: k = suffix length (time index from end), suffix = states
+# from this position through the end (mirrors operators/suffix_tree.py)
+_SFX_CTE = _TURNS_CTE + """,
+sfx AS (
+    SELECT seq_id,
+           count(*) OVER w AS k,
+           string_agg(state, chr(31)) OVER w AS suffix
+    FROM turns
+    WINDOW w AS (PARTITION BY seq_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )"""
 
 def _sql_double(x: float) -> str:
@@ -2046,22 +2186,26 @@ ORACLE_SQL = {
                    -ln(CAST(f.freq AS DOUBLE) / nn + 1e-10) AS r
             FROM pfx p JOIN f ON p.t = f.t AND p.prefix = f.prefix, n
         ),
-        st AS (
-            -- plain commutative sums, mirroring the engine's bounded-state
-            -- per-depth moment aggregate (order differences are last-ulp)
-            SELECT t, count(*) AS cnt,
-                   sum(r) AS s1,
-                   sum(r * r) AS s2,
+        st0 AS (
+            SELECT t, count(*) AS cnt, sum(r) AS s1,
                    count(DISTINCT r) = 1 AS zv
             FROM rar GROUP BY t
+        ),
+        st AS (
+            -- two-pass variance: the one-pass s2-2m*s1+cnt*m^2 form
+            -- cancels catastrophically near zero variance and its sign
+            -- flips with summation order (operators/prefix_tree.py)
+            SELECT st0.t, st0.cnt, st0.s1, st0.zv,
+                   sum((rar.r - st0.s1 / st0.cnt)
+                       * (rar.r - st0.s1 / st0.cnt)) AS ss
+            FROM rar JOIN st0 ON rar.t = st0.t
+            GROUP BY st0.t, st0.cnt, st0.s1, st0.zv
         ),
         z AS (
             SELECT rar.seq_id, rar.t,
                    CASE WHEN st.zv OR st.cnt < 2 THEN NULL
                         ELSE (rar.r - st.s1 / st.cnt)
-                             / sqrt((st.s2 - 2 * (st.s1 / st.cnt) * st.s1
-                                     + st.cnt * (st.s1 / st.cnt) * (st.s1 / st.cnt))
-                                    / (st.cnt - 1))
+                             / sqrt(st.ss / (st.cnt - 1))
                    END AS z
             FROM rar JOIN st ON rar.t = st.t
         ),
@@ -2109,6 +2253,292 @@ ORACLE_SQL = {
                                / CAST(lag(n_prefixes) OVER (ORDER BY t)
                                       AS DOUBLE)
                      END, {R}) AS branching_factor
+        FROM c
+    """,
+    "suffix_tree_stats": f"""
+        WITH {_TURNS_CTE},
+        arr AS (SELECT seq_id, list(state ORDER BY pos) AS sts
+                FROM turns GROUP BY seq_id),
+        grams AS (
+            SELECT u.t AS t, u.g AS g FROM (
+                SELECT unnest(flatten(
+                    [[struct_pack(t := t,
+                                  g := array_to_string(sts[s:s+t-1], chr(31)))
+                      FOR t IN range(1, least(6, len(sts)-s+1)+1)]
+                     FOR s IN range(1, len(sts)+1)])) AS u
+                FROM arr)
+        ),
+        c AS (
+            SELECT t, CAST(count(DISTINCT g) AS BIGINT) AS n_suffixes
+            FROM grams GROUP BY t
+        )
+        SELECT t, n_suffixes,
+               round(CASE WHEN lag(n_suffixes) OVER (ORDER BY t) IS NULL
+                          THEN 0.0
+                          ELSE CAST(n_suffixes AS DOUBLE)
+                               / CAST(lag(n_suffixes) OVER (ORDER BY t)
+                                      AS DOUBLE)
+                     END, {R}) AS merging_factor
+        FROM c
+    """,
+    "suffix_rarity": f"""
+        WITH {_SFX_CTE},
+        f AS (SELECT k, suffix, count(*) AS freq FROM sfx GROUP BY 1, 2),
+        n AS (SELECT CAST(count(DISTINCT seq_id) AS DOUBLE) AS nn FROM sfx),
+        j AS (
+            SELECT s.seq_id, s.k, f.freq
+            FROM sfx s JOIN f ON s.k = f.k AND s.suffix = f.suffix
+        )
+        SELECT seq_id,
+               round(list_sum(list(-ln(CAST(freq AS DOUBLE) / nn + 1e-10)
+                                   ORDER BY k)) + 0.0, {R}) AS rarity_score,
+               CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS path_uniqueness
+        FROM j, n GROUP BY seq_id
+    """,
+    "suffix_convergence": f"""
+        WITH {_SFX_CTE},
+        f AS (SELECT k, suffix, count(*) AS freq FROM sfx GROUP BY 1, 2),
+        n AS (SELECT CAST(count(DISTINCT seq_id) AS DOUBLE) AS nn FROM sfx),
+        rar AS (
+            SELECT s.seq_id, s.k,
+                   -ln(CAST(f.freq AS DOUBLE) / nn + 1e-10) AS r
+            FROM sfx s JOIN f ON s.k = f.k AND s.suffix = f.suffix, n
+        ),
+        st0 AS (
+            SELECT k, count(*) AS cnt, sum(r) AS s1,
+                   count(DISTINCT r) = 1 AS zv
+            FROM rar GROUP BY k
+        ),
+        st AS (
+            -- two-pass variance: the one-pass s2-2m*s1+cnt*m^2 form
+            -- cancels catastrophically near zero variance and its sign
+            -- flips with summation order (operators/prefix_tree.py)
+            SELECT st0.k, st0.cnt, st0.s1, st0.zv,
+                   sum((rar.r - st0.s1 / st0.cnt)
+                       * (rar.r - st0.s1 / st0.cnt)) AS ss
+            FROM rar JOIN st0 ON rar.k = st0.k
+            GROUP BY st0.k, st0.cnt, st0.s1, st0.zv
+        ),
+        z AS (
+            SELECT rar.seq_id, rar.k,
+                   CASE WHEN st.zv OR st.cnt < 2 THEN NULL
+                        ELSE (rar.r - st.s1 / st.cnt)
+                             / sqrt(st.ss / (st.cnt - 1))
+                   END AS z
+            FROM rar JOIN st ON rar.k = st.k
+        ),
+        -- year order: t = L - k + 1, i.e. descending k
+        per AS (SELECT seq_id, list(z ORDER BY k DESC) AS za FROM z
+                GROUP BY seq_id),
+        cand AS (
+            SELECT seq_id,
+                   [struct_pack(p := p, wmax := list_max(za[p:p+1]))
+                    FOR p IN range(1, len(za))
+                    IF len(list_filter(za[p:p+1], x -> x IS NULL)) = 0]
+                       AS cands
+            FROM per
+        ),
+        agg AS (
+            SELECT seq_id,
+                   [c.wmax FOR c IN cands] AS wmaxs,
+                   [c.p FOR c IN cands IF c.wmax < -1.0] AS passed
+            FROM cand
+        )
+        SELECT seq_id,
+               CASE WHEN len(wmaxs) > 0
+                    THEN round(list_min(wmaxs), {R}) END AS std_score,
+               CAST(CASE WHEN len(passed) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS converged,
+               CAST(CASE WHEN len(passed) > 0 THEN list_min(passed) ELSE 0 END
+                    AS BIGINT) AS first_convergence_t
+        FROM agg
+    """,
+    "suffix_convergence_topp": f"""
+        WITH {_SFX_CTE},
+        f AS (SELECT k, suffix, count(*) AS freq FROM sfx GROUP BY 1, 2),
+        n AS (SELECT CAST(count(DISTINCT seq_id) AS DOUBLE) AS nn FROM sfx),
+        rar AS (
+            SELECT s.seq_id, s.k,
+                   -ln(CAST(f.freq AS DOUBLE) / nn + 1e-10) AS r
+            FROM sfx s JOIN f ON s.k = f.k AND s.suffix = f.suffix, n
+        ),
+        st0 AS (
+            SELECT k, count(*) AS cnt, sum(r) AS s1,
+                   count(DISTINCT r) = 1 AS zv
+            FROM rar GROUP BY k
+        ),
+        st AS (
+            -- two-pass variance: the one-pass s2-2m*s1+cnt*m^2 form
+            -- cancels catastrophically near zero variance and its sign
+            -- flips with summation order (operators/prefix_tree.py)
+            SELECT st0.k, st0.cnt, st0.s1, st0.zv,
+                   sum((rar.r - st0.s1 / st0.cnt)
+                       * (rar.r - st0.s1 / st0.cnt)) AS ss
+            FROM rar JOIN st0 ON rar.k = st0.k
+            GROUP BY st0.k, st0.cnt, st0.s1, st0.zv
+        ),
+        z AS (
+            SELECT rar.seq_id, rar.k,
+                   CASE WHEN st.zv OR st.cnt < 2 THEN NULL
+                        ELSE (rar.r - st.s1 / st.cnt)
+                             / sqrt(st.ss / (st.cnt - 1))
+                   END AS z
+            FROM rar JOIN st ON rar.k = st.k
+        ),
+        per AS (SELECT seq_id, list(z ORDER BY k DESC) AS za FROM z
+                GROUP BY seq_id),
+        -- window=1: candidate p iff z not null
+        cand AS (
+            SELECT seq_id,
+                   [struct_pack(p := p, wmax := za[p])
+                    FOR p IN range(1, len(za)+1)
+                    IF za[p] IS NOT NULL] AS cands
+            FROM per
+        ),
+        sc AS (
+            SELECT seq_id, cands,
+                   CASE WHEN len(cands) > 0
+                        THEN list_min([c.wmax FOR c IN cands]) END AS std_score
+            FROM cand
+        ),
+        rk AS (
+            SELECT *,
+                   count(std_score) OVER () AS n_valid,
+                   row_number() OVER (ORDER BY std_score ASC NULLS LAST,
+                                      seq_id ASC) AS rn
+            FROM sc
+        ),
+        sel AS (
+            SELECT *,
+                   CASE WHEN std_score IS NOT NULL AND rn <=
+                        least(greatest(CAST(floor(0.2 * n_valid) AS BIGINT),
+                                       1), n_valid)
+                        THEN 1 ELSE 0 END AS selected
+            FROM rk
+        ),
+        -- threshold via a WINDOW over the same evaluation, NOT a separate
+        -- CTE reference: DuckDB inlines CTEs, and a second evaluation's
+        -- parallel partial sums can differ in last-ulp bits, breaking the
+        -- exact wmax <= th equality for the boundary individual
+        wth AS (
+            SELECT *, max(CASE WHEN selected = 1 THEN std_score END)
+                          OVER () AS th
+            FROM sel
+        )
+        SELECT seq_id, round(std_score, {R}) AS std_score,
+               CAST(selected AS BIGINT) AS converged,
+               CAST(CASE WHEN selected = 1
+                         AND len([c.p FOR c IN cands IF c.wmax <= th]) > 0
+                    THEN list_min([c.p FOR c IN cands IF c.wmax <= th])
+                    ELSE 0 END AS BIGINT) AS first_convergence_t
+        FROM wth
+    """,
+    "prefix_divergence_topp": f"""
+        WITH {_TURNS_CTE},
+        pfx AS (
+            SELECT seq_id, row_number() OVER w AS t,
+                   string_agg(state, chr(31)) OVER (
+                       PARTITION BY seq_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS prefix
+            FROM turns WINDOW w AS (PARTITION BY seq_id ORDER BY pos)
+        ),
+        f AS (SELECT t, prefix, count(*) AS freq FROM pfx GROUP BY 1, 2),
+        n AS (SELECT CAST(count(DISTINCT seq_id) AS DOUBLE) AS nn FROM pfx),
+        rar AS (
+            SELECT p.seq_id, p.t,
+                   -ln(CAST(f.freq AS DOUBLE) / nn + 1e-10) AS r
+            FROM pfx p JOIN f ON p.t = f.t AND p.prefix = f.prefix, n
+        ),
+        st0 AS (
+            SELECT t, count(*) AS cnt, sum(r) AS s1,
+                   count(DISTINCT r) = 1 AS zv
+            FROM rar GROUP BY t
+        ),
+        st AS (
+            -- two-pass variance: the one-pass s2-2m*s1+cnt*m^2 form
+            -- cancels catastrophically near zero variance and its sign
+            -- flips with summation order (operators/prefix_tree.py)
+            SELECT st0.t, st0.cnt, st0.s1, st0.zv,
+                   sum((rar.r - st0.s1 / st0.cnt)
+                       * (rar.r - st0.s1 / st0.cnt)) AS ss
+            FROM rar JOIN st0 ON rar.t = st0.t
+            GROUP BY st0.t, st0.cnt, st0.s1, st0.zv
+        ),
+        z AS (
+            SELECT rar.seq_id, rar.t,
+                   CASE WHEN st.zv OR st.cnt < 2 THEN NULL
+                        ELSE (rar.r - st.s1 / st.cnt)
+                             / sqrt(st.ss / (st.cnt - 1))
+                   END AS z
+            FROM rar JOIN st ON rar.t = st.t
+        ),
+        per AS (SELECT seq_id, list(z ORDER BY t) AS za FROM z GROUP BY seq_id),
+        -- min_t=2, window=1: candidate p in [2, len]
+        cand AS (
+            SELECT seq_id,
+                   [struct_pack(p := p, wmin := za[p])
+                    FOR p IN range(2, len(za)+1)
+                    IF za[p] IS NOT NULL] AS cands
+            FROM per
+        ),
+        sc AS (
+            SELECT seq_id, cands,
+                   CASE WHEN len(cands) > 0
+                        THEN list_max([c.wmin FOR c IN cands]) END AS std_score
+            FROM cand
+        ),
+        rk AS (
+            SELECT *,
+                   count(std_score) OVER () AS n_valid,
+                   row_number() OVER (ORDER BY std_score DESC NULLS LAST,
+                                      seq_id DESC) AS rn
+            FROM sc
+        ),
+        sel AS (
+            SELECT *,
+                   CASE WHEN std_score IS NOT NULL AND rn <=
+                        least(greatest(CAST(floor(0.2 * n_valid) AS BIGINT),
+                                       1), n_valid)
+                        THEN 1 ELSE 0 END AS selected
+            FROM rk
+        ),
+        -- window threshold, same single-evaluation rationale as the
+        -- suffix_convergence_topp oracle
+        wth AS (
+            SELECT *, min(CASE WHEN selected = 1 THEN std_score END)
+                          OVER () AS th
+            FROM sel
+        )
+        SELECT seq_id, round(std_score, {R}) AS std_score,
+               CAST(selected AS BIGINT) AS diverged,
+               CAST(CASE WHEN selected = 1
+                         AND len([c.p FOR c IN cands IF c.wmin >= th]) > 0
+                    THEN list_min([c.p FOR c IN cands IF c.wmin >= th])
+                    ELSE 0 END AS BIGINT) AS first_divergence_t
+        FROM wth
+    """,
+    "spell_suffix_stats": f"""
+        WITH {_SPELLS_CTE},
+        sfx AS (
+            SELECT seq_id,
+                   count(*) OVER w AS k,
+                   string_agg(state, chr(31)) OVER w AS suffix
+            FROM spells
+            WINDOW w AS (PARTITION BY seq_id ORDER BY spell_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ),
+        c AS (
+            SELECT k, CAST(count(DISTINCT suffix) AS BIGINT) AS n_suffixes
+            FROM sfx GROUP BY k
+        )
+        SELECT k, n_suffixes,
+               round(CASE WHEN lag(n_suffixes) OVER (ORDER BY k) IS NULL
+                          THEN 0.0
+                          ELSE CAST(n_suffixes AS DOUBLE)
+                               / CAST(lag(n_suffixes) OVER (ORDER BY k)
+                                      AS DOUBLE)
+                     END, {R}) AS merging_factor
         FROM c
     """,
     "simhash": _simhash_oracle_sql(),

@@ -115,6 +115,10 @@ def prefix_divergence(
     min_t: int = 2,
     window: int = 1,
     inclusive: bool = False,
+    method: str = "zscore",
+    proportion: float | None = None,
+    quantile_p: float | None = None,
+    min_count: int = 1,
     seq_col: str = "seq_id",
     order_col: str = "pos",
     state_col: str = "state",
@@ -137,6 +141,13 @@ def prefix_divergence(
       diverged           = 1 iff some window has all z > threshold
                            (>= if ``inclusive``)       (:264-277)
       first_divergence_t = smallest such p, 0 if none  (1-indexed, :282)
+
+    method="top_proportion"/"quantile" (compute_diverged's selection
+    branches, :165-245) instead rank std_score via
+    suffix_tree.select_by_score (direction="high": the largest aggregated
+    scores are the most atypical); diverged = selected, and
+    first_divergence_t = earliest p whose window-min z is ≥ the selection
+    threshold (mirror of the suffix module's per_t_window_max logic).
 
     Output: seq_id, std_score (null when no valid window), diverged,
     first_divergence_t. Per-depth moments are plain partial-aggregating
@@ -171,22 +182,28 @@ def prefix_divergence(
     # per-depth moments as plain partial-aggregating sums: O(1) state per
     # task (the previous ordered-fold collect_list held all N sequences'
     # rarities in ONE aggregation buffer — an OOM at the scale this module
-    # targets). A commutative double sum differs from the ordered fold
-    # only in last-ulp bits, well inside the published rounding precision;
+    # targets). Variance uses the TWO-PASS form Σ(r−m)²/(cnt−1): the
+    # one-pass s2−2m·s1+cnt·m² cancels catastrophically near zero variance
+    # and its sign then flips with partial-sum order (run-to-run AND
+    # engine-vs-oracle) — sqrt(negative-ulp) = NaN z. Two-pass keeps the
+    # sum non-negative and its order sensitivity relative-tiny; exact
     # zero-variance depths stay an EXACT distinct-count test.
-    stats = rar.groupBy("t").agg(
+    mstats = rar.groupBy("t").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("r").alias("s1"),
-        F.sum(F.col("r") * F.col("r")).alias("s2"),
         (F.countDistinct("r") == 1).alias("zv"),
     )
+    dev = F.col("r") - F.col("s1") / F.col("cnt")
+    stats = (
+        rar.join(F.broadcast(mstats), "t")
+        .groupBy("t")
+        .agg(F.sum(dev * dev).alias("ss"))
+        .join(F.broadcast(mstats), "t")
+    )
     m = F.col("s1") / F.col("cnt")
-    var = (
-        F.col("s2") - 2 * m * F.col("s1") + F.col("cnt") * m * m
-    ) / (F.col("cnt") - 1)
     z = F.when(
         F.col("zv") | (F.col("cnt") < 2), F.lit(None).cast("double")
-    ).otherwise((F.col("r") - m) / F.sqrt(var))
+    ).otherwise((F.col("r") - m) / F.sqrt(F.col("ss") / (F.col("cnt") - 1)))
     zrows = rar.join(F.broadcast(stats), "t").select(
         "seq_id", "t", z.alias("z")
     )
@@ -215,26 +232,77 @@ def prefix_divergence(
         ),
     )
     wmins = F.transform(cands, lambda c: c["wmin"])
-    passed = F.filter(
-        cands,
-        lambda c: (c["wmin"] >= z_threshold)
-        if inclusive
-        else (c["wmin"] > z_threshold),
-    )
     std_score = F.when(F.size(wmins) > 0, F.array_max(wmins))
-    diverged = F.when(F.size(passed) > 0, F.lit(1)).otherwise(F.lit(0))
+    if method == "zscore":
+        passed = F.filter(
+            cands,
+            lambda c: (c["wmin"] >= z_threshold)
+            if inclusive
+            else (c["wmin"] > z_threshold),
+        )
+        diverged = F.when(F.size(passed) > 0, F.lit(1)).otherwise(F.lit(0))
+        first_t = F.when(
+            F.size(passed) > 0,
+            F.aggregate(
+                F.transform(passed, lambda c: c["p"]),
+                F.lit(2**31 - 1),
+                lambda acc, x: F.least(acc, x),
+            ),
+        ).otherwise(F.lit(0))
+        return per.select(
+            "seq_id",
+            std_score.alias("std_score"),
+            diverged.cast("long").alias("diverged"),
+            first_t.cast("long").alias("first_divergence_t"),
+        )
+    # rank/quantile selection on the aggregated score (direction: high)
+    from sequenzo_spark.operators.suffix_tree import select_by_score
+
+    scored = per.select(
+        "seq_id", std_score.alias("std_score"), F.col("_zs").alias("_zs")
+    )
+    sel = select_by_score(
+        scored,
+        "std_score",
+        direction="high",
+        method=method,
+        proportion=proportion,
+        quantile_p=quantile_p,
+        min_count=min_count,
+    )
+    wg = Window.partitionBy()
+    if method == "quantile":
+        q = 0.90 if quantile_p is None else float(quantile_p)
+        thr_col = F.expr(f"percentile(std_score, {q!r})").over(wg)
+    else:
+        # threshold = the worst (smallest) selected score
+        thr_col = F.min(
+            F.when(F.col("selected") == 1, F.col("std_score"))
+        ).over(wg)
+    za2 = F.transform(F.col("_zs"), lambda s: s["z"])
+    cands2 = F.filter(
+        F.transform(
+            starts,
+            lambda p: F.struct(
+                p.alias("p"), F.array_min(F.slice(za2, p, w)).alias("wmin")
+            ),
+        ),
+        lambda c: ~F.exists(F.slice(za2, c["p"], w), lambda x: x.isNull()),
+    )
+    sel = sel.withColumn("_thr", thr_col)
+    hit = F.filter(cands2, lambda c: c["wmin"] >= F.col("_thr"))
     first_t = F.when(
-        F.size(passed) > 0,
+        (F.col("selected") == 1) & (F.size(hit) > 0),
         F.aggregate(
-            F.transform(passed, lambda c: c["p"]),
+            F.transform(hit, lambda c: c["p"]),
             F.lit(2**31 - 1),
             lambda acc, x: F.least(acc, x),
         ),
     ).otherwise(F.lit(0))
-    return per.select(
+    return sel.select(
         "seq_id",
-        std_score.alias("std_score"),
-        diverged.cast("long").alias("diverged"),
+        "std_score",
+        F.col("selected").cast("long").alias("diverged"),
         first_t.cast("long").alias("first_divergence_t"),
     )
 
