@@ -984,6 +984,22 @@ def q_spell_suffix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emlt_transrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMLT situation transition rates (TraMineRextras seqemlt's
+    ``transrate``, /root/reference/sequenzo/emlt/seqemlt.py:87): weighted
+    co-occurrence of (state, t) situation pairs with t_j ≥ t_i divided by
+    the source situation's weight — the data-scale stage of the EMLT
+    pipeline, restated as a per-sequence self-equijoin. Restricted to the
+    first 12 positions (the situation grid is |alphabet|×periods)."""
+    from sequenzo_spark.operators.emlt import situation_cooccurrence
+
+    turns = _event_turns(spark, sf_dir).filter(F.col("pos") <= 12)
+    out = situation_cooccurrence(turns)
+    return out.select(
+        "ti", "si", "tj", "sj", "cooc", F.round("rate", R).alias("rate")
+    )
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -1043,6 +1059,7 @@ QUERIES = {
     "suffix_convergence_topp": q_suffix_convergence_topp,
     "prefix_divergence_topp": q_prefix_divergence_topp,
     "spell_suffix_stats": q_spell_suffix_stats,
+    "emlt_transrate": q_emlt_transrate,
 }
 
 # ------------------------------------------------------------- oracle SQL
@@ -2540,6 +2557,23 @@ ORACLE_SQL = {
                                       AS DOUBLE)
                      END, {R}) AS merging_factor
         FROM c
+    """,
+    "emlt_transrate": f"""
+        WITH {_TURNS_CTE},
+        r12 AS (SELECT seq_id, CAST(pos AS INT) AS t, state AS s
+                FROM turns WHERE pos <= 12),
+        nb AS (SELECT t, s, CAST(count(*) AS DOUBLE) AS nb
+               FROM r12 GROUP BY 1, 2),
+        co AS (
+            SELECT a.t AS ti, a.s AS si, b.t AS tj, b.s AS sj,
+                   CAST(count(*) AS DOUBLE) AS cooc
+            FROM r12 a JOIN r12 b
+              ON a.seq_id = b.seq_id AND b.t >= a.t
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT co.ti, co.si, co.tj, co.sj, co.cooc,
+               round(co.cooc / nb.nb, {R}) AS rate
+        FROM co JOIN nb ON co.ti = nb.t AND co.si = nb.s
     """,
     "simhash": _simhash_oracle_sql(),
     "lsh_cosine_topk": _lsh_topk_oracle_sql(),

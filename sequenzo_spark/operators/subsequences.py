@@ -190,21 +190,34 @@ def frequent_subsequences(
 
 def parse_subsequence(sstr: str) -> list[str]:
     """Parse a reference-format subsequence string "(a)-(b)" into its event
-    list (_parse_subsequence_string, core.py:1370; simultaneous ","-events
-    are not supported — this engine's events are strictly pos-ordered)."""
+    list (_parse_subsequence_string, core.py:1371).
+
+    Simultaneous ","-events — "(a)-(b,c)" — are FLATTENED: the reference's
+    parser emits the comma group as consecutive events sharing a pattern
+    timestamp, and its matcher (_find_occurrence_starting_at,
+    core.py:1499-1531) then matches the FLAT event list as an ordered
+    subset with strictly increasing sequence indices, never constraining
+    pattern-internal timestamps — so "(a)-(b,c)" counts identically to
+    "(a)-(b)-(c)" under the default (unconstrained) search. The flattened
+    pattern must still fit the engine's 3-event cap."""
     s = sstr.strip()
-    if "," in s:
-        raise ValueError("simultaneous events ('a,b') are not supported")
     if s.startswith("(") and s.endswith(")"):
         s = s[1:-1]
         parts = s.split(")-(")
     else:
         parts = s.split("-")
-    evs = [p.strip().strip("()") for p in parts]
+    evs = [
+        e.strip()
+        for p in parts
+        for e in p.strip().strip("()").split(",")
+    ]
     if not evs or any(not e for e in evs):
         raise ValueError(f"cannot parse subsequence string: {sstr!r}")
     if len(evs) > 3:
-        raise ValueError("patterns longer than 3 events are not supported")
+        raise ValueError(
+            "patterns longer than 3 events (after flattening simultaneous "
+            "groups) are not supported"
+        )
     return evs
 
 

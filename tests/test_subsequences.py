@@ -264,7 +264,61 @@ def test_parse_subsequence():
     assert parse_subsequence("(A)-(B)") == ["A", "B"]
     assert parse_subsequence("(view>click)") == ["view>click"]
     assert parse_subsequence("A-B") == ["A", "B"]
-    with pytest.raises(ValueError):
-        parse_subsequence("(A,B)")
+    # simultaneous events flatten (reference matcher treats the flat list
+    # as an ordered subset — core.py:1499-1531)
+    assert parse_subsequence("(A,B)") == ["A", "B"]
+    assert parse_subsequence("(A)-(B,C)") == ["A", "B", "C"]
     with pytest.raises(ValueError):
         parse_subsequence("(A)-(B)-(C)-(D)")
+    with pytest.raises(ValueError):
+        parse_subsequence("(A,B)-(C,D)")  # 4 events after flattening
+
+
+def _ref_greedy_count(seq, pattern):
+    """Reference CDIST_O greedy counter (_count_distinct_occurrences +
+    _find_occurrence_starting_at, core.py:1499-1589): ordered-subset
+    match over the FLAT event list, restart past each found start."""
+    def match_at(start):
+        if seq[start] != pattern[0]:
+            return False
+        pos = start + 1
+        for ev in pattern[1:]:
+            for i in range(pos, len(seq)):
+                if seq[i] == ev:
+                    pos = i + 1
+                    break
+            else:
+                return False
+        return True
+
+    count, start = 0, 0
+    while start < len(seq):
+        hit = next((i for i in range(start, len(seq)) if match_at(i)), None)
+        if hit is None:
+            break
+        count += 1
+        start = hit + 1
+    return count
+
+
+def test_simultaneous_pattern_counts_match_greedy(spark):
+    """A comma pattern "(A)-(B,C)" must count exactly like the reference's
+    greedy counter over the flattened pattern [A, B, C]."""
+    seqs = [
+        ["A", "B", "C"],
+        ["A", "C", "B"],       # B after C → no (A)-(B,C)
+        ["A", "B", "C", "A", "B", "C"],
+        ["B", "A", "B", "C"],
+        ["A", "A", "B", "B", "C"],
+        ["C", "B", "A"],
+    ]
+    ev = _events_df(spark, seqs)
+    got = {
+        (r["seq_id"], r["subseq"]): r["count"]
+        for r in count_subsequence_occurrences(
+            ev, ["(A)-(B,C)"], method="count"
+        ).collect()
+    }
+    flat = ["A", "B", "C"]
+    for i, seq in enumerate(seqs):
+        assert got[(f"s{i}", "(A)-(B,C)")] == _ref_greedy_count(seq, flat), i
