@@ -31,8 +31,9 @@ Scale shape: ONE window pass builds (seq, t, prefix-key) rows; everything
 else is groupBy aggregates on (t, prefix) / seq_id. The prefix key is the
 \\x1f-joined state string (portable to the SQL oracle; collision-free).
 Its length grows with depth, so the (t, prefix) shuffle carries O(depth)
-bytes per row — at extreme depths swap the key for an incremental
-xxhash64 chain (same plan, constant-width keys, loses oracle portability).
+bytes per row — at extreme depths pass ``hashed=True`` to swap the key
+for the incremental xxhash64 chain (_hashed_key_rows: same plan,
+constant-width 8-byte keys, loses oracle portability).
 Per-seq float sums fold in ascending-t order (deterministic bits at any
 parallelism — the engine-wide reduction rule).
 """
@@ -64,14 +65,69 @@ def release_prefix_caches() -> int:
 SEP = "\x1f"  # unit separator: cannot appear in state labels (validated at ingest)
 
 
+_HASH_SEED = -6048811049363430000  # arbitrary non-state chain seed
+
+
+def _hashed_key_rows(
+    df: DataFrame,
+    seq_col: str,
+    order_col: str,
+    state_col: str,
+    from_end: bool,
+) -> DataFrame:
+    """(seq_id, t, key) with CONSTANT-WIDTH 8-byte keys: key_t =
+    xxhash64(key_{t−1}, state_t) — an incremental hash chain over the
+    per-sequence state array (reversed when ``from_end``), so the
+    (t, key) shuffle carries 8 bytes per row instead of the O(depth)
+    string key. Collision-free only probabilistically (64-bit); the
+    string key stays the default for oracle portability."""
+    arr = df.groupBy(F.col(seq_col).alias("seq_id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(order_col).alias("p"), F.col(state_col).alias("s"))
+            )
+        ).alias("_a")
+    )
+    sts = F.transform(F.col("_a"), lambda x: x["s"])
+    if from_end:
+        sts = F.reverse(sts)
+    chain = F.aggregate(
+        sts,
+        F.array().cast("array<bigint>"),
+        lambda acc, s: F.concat(
+            acc,
+            F.array(
+                F.xxhash64(
+                    # F.get is null (not ANSI error) on the empty accumulator
+                    F.coalesce(
+                        F.get(acc, F.size(acc) - 1), F.lit(_HASH_SEED)
+                    ),
+                    s,
+                )
+            ),
+        ),
+    )
+    return arr.select(
+        "seq_id", F.posexplode(chain).alias("t0", "prefix")
+    ).select("seq_id", (F.col("t0") + 1).alias("t"), "prefix")
+
+
 def _prefix_rows(
     df: DataFrame,
     seq_col: str = "seq_id",
     order_col: str = "pos",
     state_col: str = "state",
+    hashed: bool = False,
 ) -> DataFrame:
     """(seq_id, t, prefix) — one row per sequence position; prefix = the
-    states from the start through t, joined with SEP. One window pass."""
+    states from the start through t, joined with SEP. One window pass.
+
+    ``hashed=True`` swaps the string key for the incremental xxhash64
+    chain (constant-width shuffle keys — the scale path for 10⁴-turn
+    sequences, where the string key's O(T²) bytes per sequence dominate;
+    same plan shape, loses oracle portability)."""
+    if hashed:
+        return _hashed_key_rows(df, seq_col, order_col, state_col, False)
     w = (
         Window.partitionBy(seq_col)
         .orderBy(order_col)
@@ -90,13 +146,14 @@ def prefix_tree_stats(
     seq_col: str = "seq_id",
     order_col: str = "pos",
     state_col: str = "state",
+    hashed: bool = False,
 ) -> DataFrame:
     """Per depth t: n_prefixes (distinct prefixes — compute_prefix_count)
     and branching_factor (n_prefixes(t)/n_prefixes(t−1), 0.0 at t=1 —
     compute_branching_factor's padding). The lag window runs over the
     per-depth aggregate (max-sequence-length rows), not data rows."""
     per_t = (
-        _prefix_rows(df, seq_col, order_col, state_col)
+        _prefix_rows(df, seq_col, order_col, state_col, hashed)
         .groupBy("t")
         .agg(F.countDistinct("prefix").alias("n_prefixes"))
     )
@@ -123,6 +180,7 @@ def prefix_divergence(
     order_col: str = "pos",
     state_col: str = "state",
     persist_stats: bool = False,
+    hashed: bool = False,
 ) -> DataFrame:
     """Individual divergence via the reference's z-score window method
     (IndividualDivergence.compute_diverged / compute_standardized_rarity_score
@@ -158,7 +216,7 @@ def prefix_divergence(
     reach t."""
     if min_t < 1 or window < 1:
         raise ValueError("min_t and window must be >= 1")
-    pfx = _prefix_rows(df, seq_col, order_col, state_col)
+    pfx = _prefix_rows(df, seq_col, order_col, state_col, hashed)
     freq = pfx.groupBy("t", "prefix").agg(F.count(F.lit(1)).alias("freq"))
     joined = pfx.join(freq, ["t", "prefix"])
     n_seqs = joined.select("seq_id").distinct().agg(
@@ -313,6 +371,7 @@ def prefix_rarity(
     order_col: str = "pos",
     state_col: str = "state",
     group_col: str | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """Per sequence: rarity_score = Σ_t −ln(freq(prefix_t)/N + 1e-10)
     (the reference's epsilon, individual_level_indicators.py:580) and
@@ -323,7 +382,7 @@ def prefix_rarity(
     (compute_path_uniqueness_by_group_prefix, individual_level:1282).
     The rarity sum folds in ascending-t order for bit-deterministic output."""
     gcols = [group_col] if group_col else []
-    pfx = _prefix_rows(df, seq_col, order_col, state_col)
+    pfx = _prefix_rows(df, seq_col, order_col, state_col, hashed)
     if group_col:
         grp = df.groupBy(F.col(seq_col).alias("seq_id")).agg(
             F.first(group_col).alias(group_col)

@@ -80,11 +80,21 @@ def _suffix_rows(
     seq_col: str = "seq_id",
     order_col: str = "pos",
     state_col: str = "state",
+    hashed: bool = False,
 ) -> DataFrame:
     """(seq_id, k, suffix) — one row per sequence position; k = number of
     positions from here to the end (suffix LENGTH, the "time index from
     end"), suffix = the states from this position through the end, joined
-    with SEP. One window pass."""
+    with SEP. One window pass. ``hashed=True`` swaps the string key for
+    the constant-width incremental xxhash64 chain over the REVERSED
+    states (prefix_tree._hashed_key_rows — the scale path for long
+    sequences; loses oracle portability)."""
+    if hashed:
+        from sequenzo_spark.operators.prefix_tree import _hashed_key_rows
+
+        return _hashed_key_rows(
+            df, seq_col, order_col, state_col, True
+        ).select("seq_id", F.col("t").alias("k"), F.col("prefix").alias("suffix"))
     w = (
         Window.partitionBy(seq_col)
         .orderBy(order_col)
@@ -179,6 +189,7 @@ def suffix_rarity(
     order_col: str = "pos",
     state_col: str = "state",
     group_col: str | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """Per sequence: rarity_score = Σ_k −ln(freq(suffix_k)/N + 1e-10)
     (compute_suffix_rarity_score) and path_uniqueness = #{k :
@@ -187,7 +198,7 @@ def suffix_rarity(
     freq and N computed inside each group). The rarity sum folds in
     ascending-k order for bit-deterministic output."""
     gcols = [group_col] if group_col else []
-    sfx = _suffix_rows(df, seq_col, order_col, state_col)
+    sfx = _suffix_rows(df, seq_col, order_col, state_col, hashed)
     if group_col:
         grp = df.groupBy(F.col(seq_col).alias("seq_id")).agg(
             F.first(group_col).alias(group_col)
