@@ -168,3 +168,23 @@ def test_simhash_plan_has_no_aggregate_shuffle(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(simhash64(docs))
     assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+
+
+def test_emlt_cooccurrence_is_equijoin(spark):
+    """The situation co-occurrence self-join must hash/sort-merge on
+    seq_id (the t_j >= t_i bound is a post-join filter) — a cartesian
+    here would be O(N²) over sequences."""
+    from sequenzo_spark.driver_queries import QUERIES
+
+    plan = _plan(QUERIES["emlt_transrate"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_suffix_convergence_broadcasts_level_stats(spark):
+    """Both per-level moment tables (max-length rows) must re-attach to
+    the rarity rows via broadcast joins, not shuffles."""
+    from sequenzo_spark.driver_queries import QUERIES
+
+    plan = _plan(QUERIES["suffix_convergence"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
