@@ -66,11 +66,13 @@ def run_queries() -> dict[str, float]:
         # advisor finding).
         from sequenzo_spark.operators.prefix_tree import release_prefix_caches
         from sequenzo_spark.operators.subsequences import release_stats_caches
+        from sequenzo_spark.operators.suffix_tree import release_suffix_caches
         from sequenzo_spark.pipeline.dedup import release_sig_caches
 
         release_sig_caches()
         release_stats_caches()
         release_prefix_caches()
+        release_suffix_caches()
     spark.stop()
     return times, cold
 
