@@ -179,6 +179,7 @@ def prefix_divergence(
     seq_col: str = "seq_id",
     order_col: str = "pos",
     state_col: str = "state",
+    group_col: str | None = None,
     persist_stats: bool = False,
     hashed: bool = False,
 ) -> DataFrame:
@@ -213,17 +214,39 @@ def prefix_divergence(
     bits, inside the published rounding) and the per-seq window scan folds
     in depth order. Variable-length inputs generalize the reference's
     equal-T requirement: depth-t stats cover the sequences long enough to
-    reach t."""
+    reach t.
+
+    ``group_col`` (constant within a sequence) switches to the reference's
+    within-group variant (_compute_converged_by_group's prefix mirror and
+    the per-group selection branches): frequencies, N, and the z moments
+    are computed inside each group, and rank/quantile selections run per
+    group; the output gains the group column."""
     if min_t < 1 or window < 1:
         raise ValueError("min_t and window must be >= 1")
+    gcols = [group_col] if group_col else []
     pfx = _prefix_rows(df, seq_col, order_col, state_col, hashed)
-    freq = pfx.groupBy("t", "prefix").agg(F.count(F.lit(1)).alias("freq"))
-    joined = pfx.join(freq, ["t", "prefix"])
-    n_seqs = joined.select("seq_id").distinct().agg(
-        F.count(F.lit(1)).alias("_n")
+    if group_col:
+        grp = df.groupBy(F.col(seq_col).alias("seq_id")).agg(
+            F.first(group_col).alias(group_col)
+        )
+        pfx = pfx.join(grp, "seq_id")
+    freq = pfx.groupBy(*gcols, "t", "prefix").agg(
+        F.count(F.lit(1)).alias("freq")
     )
-    rar = joined.crossJoin(F.broadcast(n_seqs)).select(
+    joined = pfx.join(freq, gcols + ["t", "prefix"])
+    n_seqs = (
+        joined.select(*gcols, "seq_id")
+        .distinct()
+        .groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    if group_col:
+        joined = joined.join(F.broadcast(n_seqs), gcols)
+    else:
+        joined = joined.crossJoin(F.broadcast(n_seqs))
+    rar = joined.select(
         "seq_id",
+        *gcols,
         "t",
         (
             -F.log(
@@ -246,26 +269,27 @@ def prefix_divergence(
     # engine-vs-oracle) — sqrt(negative-ulp) = NaN z. Two-pass keeps the
     # sum non-negative and its order sensitivity relative-tiny; exact
     # zero-variance depths stay an EXACT distinct-count test.
-    mstats = rar.groupBy("t").agg(
+    kcols = gcols + ["t"]
+    mstats = rar.groupBy(*kcols).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("r").alias("s1"),
         (F.countDistinct("r") == 1).alias("zv"),
     )
     dev = F.col("r") - F.col("s1") / F.col("cnt")
     stats = (
-        rar.join(F.broadcast(mstats), "t")
-        .groupBy("t")
+        rar.join(F.broadcast(mstats), kcols)
+        .groupBy(*kcols)
         .agg(F.sum(dev * dev).alias("ss"))
-        .join(F.broadcast(mstats), "t")
+        .join(F.broadcast(mstats), kcols)
     )
     m = F.col("s1") / F.col("cnt")
     z = F.when(
         F.col("zv") | (F.col("cnt") < 2), F.lit(None).cast("double")
     ).otherwise((F.col("r") - m) / F.sqrt(F.col("ss") / (F.col("cnt") - 1)))
-    zrows = rar.join(F.broadcast(stats), "t").select(
-        "seq_id", "t", z.alias("z")
+    zrows = rar.join(F.broadcast(stats), kcols).select(
+        "seq_id", *gcols, "t", z.alias("z")
     )
-    per = zrows.groupBy("seq_id").agg(
+    per = zrows.groupBy("seq_id", *gcols).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("t"), F.col("z")))
         ).alias("_zs")
@@ -309,6 +333,7 @@ def prefix_divergence(
         ).otherwise(F.lit(0))
         return per.select(
             "seq_id",
+            *gcols,
             std_score.alias("std_score"),
             diverged.cast("long").alias("diverged"),
             first_t.cast("long").alias("first_divergence_t"),
@@ -317,7 +342,8 @@ def prefix_divergence(
     from sequenzo_spark.operators.suffix_tree import select_by_score
 
     scored = per.select(
-        "seq_id", std_score.alias("std_score"), F.col("_zs").alias("_zs")
+        "seq_id", *gcols, std_score.alias("std_score"),
+        F.col("_zs").alias("_zs")
     )
     sel = select_by_score(
         scored,
@@ -327,8 +353,9 @@ def prefix_divergence(
         proportion=proportion,
         quantile_p=quantile_p,
         min_count=min_count,
+        group_col=group_col,
     )
-    wg = Window.partitionBy()
+    wg = Window.partitionBy(*gcols)
     if method == "quantile":
         q = 0.90 if quantile_p is None else float(quantile_p)
         thr_col = F.expr(f"percentile(std_score, {q!r})").over(wg)
@@ -359,6 +386,7 @@ def prefix_divergence(
     ).otherwise(F.lit(0))
     return sel.select(
         "seq_id",
+        *gcols,
         "std_score",
         F.col("selected").cast("long").alias("diverged"),
         first_t.cast("long").alias("first_divergence_t"),

@@ -314,6 +314,7 @@ def suffix_convergence(
     seq_col: str = "seq_id",
     order_col: str = "pos",
     state_col: str = "state",
+    group_col: str | None = None,
     persist_stats: bool = False,
 ) -> DataFrame:
     """Individual convergence — the suffix mirror of prefix_divergence
@@ -339,17 +340,38 @@ def suffix_convergence(
     first_convergence_t = earliest p whose window-max z is ≤ the
     selection threshold (the reference's per_t_window_max logic, :418).
 
-    Output: seq_id, std_score, converged, first_convergence_t."""
+    ``group_col`` (constant within a sequence) switches to the reference's
+    within-group variant (_compute_converged_by_group and the per-group
+    selection branches): frequencies, N, and the z moments are computed
+    inside each group, and rank/quantile selections run per group.
+
+    Output: seq_id, [group], std_score, converged, first_convergence_t."""
     if min_t < 1 or window < 1:
         raise ValueError("min_t and window must be >= 1")
+    gcols = [group_col] if group_col else []
     sfx = _suffix_rows(df, seq_col, order_col, state_col)
-    freq = sfx.groupBy("k", "suffix").agg(F.count(F.lit(1)).alias("freq"))
-    joined = sfx.join(freq, ["k", "suffix"])
-    n_seqs = joined.select("seq_id").distinct().agg(
-        F.count(F.lit(1)).alias("_n")
+    if group_col:
+        grp = df.groupBy(F.col(seq_col).alias("seq_id")).agg(
+            F.first(group_col).alias(group_col)
+        )
+        sfx = sfx.join(grp, "seq_id")
+    freq = sfx.groupBy(*gcols, "k", "suffix").agg(
+        F.count(F.lit(1)).alias("freq")
     )
-    rar = joined.crossJoin(F.broadcast(n_seqs)).select(
+    joined = sfx.join(freq, gcols + ["k", "suffix"])
+    n_seqs = (
+        joined.select(*gcols, "seq_id")
+        .distinct()
+        .groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    if group_col:
+        joined = joined.join(F.broadcast(n_seqs), gcols)
+    else:
+        joined = joined.crossJoin(F.broadcast(n_seqs))
+    rar = joined.select(
         "seq_id",
+        *gcols,
         "k",
         (
             -F.log(
@@ -365,27 +387,28 @@ def suffix_convergence(
     # variance Σ(r−m)²/(cnt−1) (same rationale as prefix_divergence: the
     # one-pass form cancels catastrophically near zero variance and its
     # sign flips with summation order → NaN z)
-    mstats = rar.groupBy("k").agg(
+    kcols = gcols + ["k"]
+    mstats = rar.groupBy(*kcols).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("r").alias("s1"),
         (F.countDistinct("r") == 1).alias("zv"),
     )
     dev = F.col("r") - F.col("s1") / F.col("cnt")
     stats = (
-        rar.join(F.broadcast(mstats), "k")
-        .groupBy("k")
+        rar.join(F.broadcast(mstats), kcols)
+        .groupBy(*kcols)
         .agg(F.sum(dev * dev).alias("ss"))
-        .join(F.broadcast(mstats), "k")
+        .join(F.broadcast(mstats), kcols)
     )
     m = F.col("s1") / F.col("cnt")
     z = F.when(
         F.col("zv") | (F.col("cnt") < 2), F.lit(None).cast("double")
     ).otherwise((F.col("r") - m) / F.sqrt(F.col("ss") / (F.col("cnt") - 1)))
-    zrows = rar.join(F.broadcast(stats), "k").select(
-        "seq_id", "k", z.alias("z")
+    zrows = rar.join(F.broadcast(stats), kcols).select(
+        "seq_id", *gcols, "k", z.alias("z")
     )
     # year order: t = L − k + 1 ⇔ descending k; sort by −k ascending
-    per = zrows.groupBy("seq_id").agg(
+    per = zrows.groupBy("seq_id", *gcols).agg(
         F.array_sort(
             F.collect_list(F.struct((-F.col("k")).alias("nk"), F.col("z")))
         ).alias("_zs")
@@ -424,12 +447,14 @@ def suffix_convergence(
         ).otherwise(F.lit(0))
         return per.select(
             "seq_id",
+            *gcols,
             std_score.alias("std_score"),
             converged.cast("long").alias("converged"),
             first_t.cast("long").alias("first_convergence_t"),
         )
     scored = per.select(
-        "seq_id", std_score.alias("std_score"), F.col("_zs").alias("_zs")
+        "seq_id", *gcols, std_score.alias("std_score"),
+        F.col("_zs").alias("_zs")
     )
     # rank/quantile methods: select on std_score, then earliest window
     # whose max z is ≤ the selection threshold (reference :449-560)
@@ -441,8 +466,9 @@ def suffix_convergence(
         proportion=proportion,
         quantile_p=quantile_p,
         min_count=min_count,
+        group_col=group_col,
     )
-    wg = Window.partitionBy()
+    wg = Window.partitionBy(*gcols)
     if method == "quantile":
         q = 0.10 if quantile_p is None else float(quantile_p)
         thr_col = F.expr(f"percentile(std_score, {q!r})").over(wg)
@@ -473,6 +499,7 @@ def suffix_convergence(
     ).otherwise(F.lit(0))
     return sel.select(
         "seq_id",
+        *gcols,
         "std_score",
         F.col("selected").cast("long").alias("converged"),
         first_t.cast("long").alias("first_convergence_t"),

@@ -310,3 +310,57 @@ def test_prefix_divergence_selection_methods(spark):
     for sid, s in scores.items():
         want = 1 if (s is not None and s >= xq) else 0
         assert gotq[sid]["diverged"] == want, sid
+
+
+def test_convergence_grouped_zscore(spark):
+    """group_col: frequencies, N, and z moments within each group — must
+    equal running the ungrouped operator on each group separately."""
+    rng = random.Random(17)
+    T = 4
+    seqs = [[rng.choice("AB") for _ in range(T)] for _ in range(20)]
+    groups = ["g0" if i < 12 else "g1" for i in range(len(seqs))]
+    whole = {
+        r["seq_id"]: r
+        for r in suffix_convergence(
+            _df(spark, seqs, groups), z_threshold=0.8, min_t=1, window=1,
+            group_col="grp",
+        ).collect()
+    }
+    for gname, lo, hi in [("g0", 0, 12), ("g1", 12, 20)]:
+        sub = seqs[lo:hi]
+        alone = {
+            r["seq_id"]: r
+            for r in suffix_convergence(
+                _df(spark, sub), z_threshold=0.8, min_t=1, window=1
+            ).collect()
+        }
+        for j in range(len(sub)):
+            got = whole[f"s{lo + j:02d}"]
+            want = alone[f"s{j:02d}"]
+            assert got["grp"] == gname
+            assert got["converged"] == want["converged"]
+            assert got["first_convergence_t"] == want["first_convergence_t"]
+            if want["std_score"] is None:
+                assert got["std_score"] is None
+            else:
+                assert got["std_score"] == pytest.approx(want["std_score"])
+
+
+def test_convergence_grouped_top_proportion(spark):
+    """Per-group top_proportion: k computed within each group."""
+    rng = random.Random(23)
+    T = 4
+    seqs = [[rng.choice("AB") for _ in range(T)] for _ in range(20)]
+    groups = ["g0" if i % 2 == 0 else "g1" for i in range(len(seqs))]
+    got = {
+        r["seq_id"]: r
+        for r in suffix_convergence(
+            _df(spark, seqs, groups), method="top_proportion",
+            proportion=0.3, group_col="grp",
+        ).collect()
+    }
+    for g in ("g0", "g1"):
+        members = [r for r in got.values() if r["grp"] == g]
+        n_valid = sum(1 for r in members if r["std_score"] is not None)
+        k = max(1, int(np.floor(0.3 * n_valid)))
+        assert sum(r["converged"] for r in members) == min(k, n_valid), g
