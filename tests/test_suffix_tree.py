@@ -364,3 +364,44 @@ def test_convergence_grouped_top_proportion(spark):
         n_valid = sum(1 for r in members if r["std_score"] is not None)
         k = max(1, int(np.floor(0.3 * n_valid)))
         assert sum(r["converged"] for r in members) == min(k, n_valid), g
+
+
+def test_spell_mode_convergence_composition(spark):
+    """SpellIndividualConvergence = suffix_convergence over the spell
+    table (level k = last k spells): must equal running the position
+    operator on the DSS (distinct successive states) sequences."""
+    from sequenzo_spark.operators.spells import spell_table
+
+    seqs = [
+        ["A", "A", "B"],          # DSS [A, B]
+        ["A", "B", "B"],          # DSS [A, B]
+        ["B", "B", "A"],          # DSS [B, A]
+        ["A", "B", "A"],          # DSS [A, B, A]
+        ["B", "A", "A"],          # DSS [B, A]
+        ["A", "A", "A"],          # DSS [A]
+    ]
+    df = _df(spark, seqs)
+    via_spells = {
+        r["seq_id"]: r
+        for r in suffix_convergence(
+            spell_table(df), z_threshold=0.5, min_t=1, window=1,
+            order_col="spell_id",
+        ).collect()
+    }
+    dss = [[s for i, s in enumerate(seq) if i == 0 or s != seq[i - 1]]
+           for seq in seqs]
+    direct = {
+        r["seq_id"]: r
+        for r in suffix_convergence(
+            _df(spark, dss), z_threshold=0.5, min_t=1, window=1
+        ).collect()
+    }
+    for sid in via_spells:
+        a, b = via_spells[sid], direct[sid]
+        assert (a["converged"], a["first_convergence_t"]) == (
+            b["converged"], b["first_convergence_t"]
+        ), sid
+        if b["std_score"] is None:
+            assert a["std_score"] is None, sid
+        else:
+            assert a["std_score"] == pytest.approx(b["std_score"]), sid
