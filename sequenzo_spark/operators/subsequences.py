@@ -96,7 +96,7 @@ def frequent_subsequences(
     weight_col: str | None = None,
     persist_stats: bool = False,
 ) -> DataFrame:
-    """Frequent subsequences of length 1..max_k (max_k ≤ 3) with presence
+    """Frequent subsequences of length 1..max_k (max_k ≤ 4) with presence
     (COBJ) support — find_frequent_subsequences semantics (core.py:601,
     thresholds :672-676; the reference's simplified generator :1406 likewise
     bounds pattern length).
@@ -107,10 +107,14 @@ def frequent_subsequences(
     Presence predicates close over the per-event aggregates:
       k=1: event present;
       k=2 (a,b): min_pos(a) < max_pos(b);
-      k=3 (a,b,c): ∃ p ∈ positions(b): min_pos(a) < p < max_pos(c).
+      k=3 (a,b,c): ∃ q ∈ positions(b): min_pos(a) < q < max_pos(c);
+      k=4 (a,b,c,d): ∃ q ∈ pos(b), r ∈ pos(c):
+                     min_pos(a) < q < r < max_pos(d).
+    Join cost is Kᵏ rows per sequence (K = event alphabet) — bounded by
+    the alphabet, not the data.
     """
-    if max_k < 1 or max_k > 3:
-        raise ValueError("max_k must be 1..3")
+    if max_k < 1 or max_k > 4:
+        raise ValueError("max_k must be 1..4")
     if min_support is None and min_support_ratio is None:
         raise ValueError("specify min_support or min_support_ratio")
     pe = _per_event_stats(
@@ -173,6 +177,36 @@ def frequent_subsequences(
                 F.sum(F.col("a.w") if weight_col else F.lit(1.0)).alias("n_seqs"),
             )
         )
+    if max_k >= 4:
+        a, b, c, d = pe.alias("a"), pe.alias("b"), pe.alias("c"), pe.alias("d")
+        chain_ok = F.exists(
+            F.col("b.ps"),
+            lambda q: (q > F.col("a.fp"))
+            & F.exists(
+                F.col("c.ps"), lambda r: (r > q) & (r < F.col("d.lp"))
+            ),
+        )
+        parts.append(
+            a.join(b, F.col("a.seq_id") == F.col("b.seq_id"))
+            .join(c, F.col("a.seq_id") == F.col("c.seq_id"))
+            .join(d, F.col("a.seq_id") == F.col("d.seq_id"))
+            .filter(chain_ok)
+            .groupBy(
+                F.concat(
+                    _fmt1(F.col("a.event")),
+                    F.lit("-"),
+                    _fmt1(F.col("b.event")),
+                    F.lit("-"),
+                    _fmt1(F.col("c.event")),
+                    F.lit("-"),
+                    _fmt1(F.col("d.event")),
+                ).alias("subseq")
+            )
+            .agg(
+                F.lit(4).alias("k"),
+                F.sum(F.col("a.w") if weight_col else F.lit(1.0)).alias("n_seqs"),
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -213,9 +247,9 @@ def parse_subsequence(sstr: str) -> list[str]:
     ]
     if not evs or any(not e for e in evs):
         raise ValueError(f"cannot parse subsequence string: {sstr!r}")
-    if len(evs) > 3:
+    if len(evs) > 4:
         raise ValueError(
-            "patterns longer than 3 events (after flattening simultaneous "
+            "patterns longer than 4 events (after flattening simultaneous "
             "groups) are not supported"
         )
     return evs
@@ -241,6 +275,8 @@ def count_subsequence_occurrences(
       len 2 (a,b):    |{p ∈ positions(a) : p < max_pos(b)}|
       len 3 (a,b,c):  |{p ∈ positions(a) : ∃ q ∈ positions(b),
                         p < q < max_pos(c)}|
+      len 4 (a,b,c,d):|{p ∈ positions(a) : ∃ q ∈ pos(b), r ∈ pos(c),
+                        p < q < r < max_pos(d)}|
 
     Sequences not containing a pattern's events get count 0 (dense output:
     one row per sequence × pattern, like the reference's matrix)."""
@@ -269,6 +305,30 @@ def count_subsequence_occurrences(
             ).cast("long")
             cnt_df = a.join(b, F.col("a.seq_id") == F.col("b.seq_id")).select(
                 F.col("a.seq_id").alias("seq_id"), cnt.alias("_cnt")
+            )
+        elif len(evs) == 4:
+            a = pe.filter(F.col("event") == evs[0]).alias("a")
+            b = pe.filter(F.col("event") == evs[1]).alias("b")
+            c = pe.filter(F.col("event") == evs[2]).alias("c")
+            d = pe.filter(F.col("event") == evs[3]).alias("d")
+            cnt = F.size(
+                F.filter(
+                    F.col("a.ps"),
+                    lambda p: F.exists(
+                        F.col("b.ps"),
+                        lambda q: (q > p)
+                        & F.exists(
+                            F.col("c.ps"),
+                            lambda r: (r > q) & (r < F.col("d.lp")),
+                        ),
+                    ),
+                )
+            ).cast("long")
+            cnt_df = (
+                a.join(b, F.col("a.seq_id") == F.col("b.seq_id"))
+                .join(c, F.col("a.seq_id") == F.col("c.seq_id"))
+                .join(d, F.col("a.seq_id") == F.col("d.seq_id"))
+                .select(F.col("a.seq_id").alias("seq_id"), cnt.alias("_cnt"))
             )
         else:
             a = pe.filter(F.col("event") == evs[0]).alias("a")

@@ -268,10 +268,9 @@ def test_parse_subsequence():
     # as an ordered subset — core.py:1499-1531)
     assert parse_subsequence("(A,B)") == ["A", "B"]
     assert parse_subsequence("(A)-(B,C)") == ["A", "B", "C"]
+    assert parse_subsequence("(A,B)-(C,D)") == ["A", "B", "C", "D"]
     with pytest.raises(ValueError):
-        parse_subsequence("(A)-(B)-(C)-(D)")
-    with pytest.raises(ValueError):
-        parse_subsequence("(A,B)-(C,D)")  # 4 events after flattening
+        parse_subsequence("(A)-(B)-(C)-(D)-(E)")
 
 
 def _ref_greedy_count(seq, pattern):
@@ -322,3 +321,43 @@ def test_simultaneous_pattern_counts_match_greedy(spark):
     flat = ["A", "B", "C"]
     for i, seq in enumerate(seqs):
         assert got[(f"s{i}", "(A)-(B,C)")] == _ref_greedy_count(seq, flat), i
+
+def test_len4_pattern_counts_match_greedy(spark):
+    """Length-4 closed form == the reference greedy counter."""
+    seqs = [
+        ["A", "B", "C", "D"],
+        ["A", "B", "D", "C"],            # no full chain
+        ["A", "A", "B", "C", "D", "D"],
+        ["D", "C", "B", "A"],
+        ["A", "B", "C", "D", "A", "B", "C", "D"],
+    ]
+    ev = _events_df(spark, seqs)
+    got = {
+        r["seq_id"]: r["count"]
+        for r in count_subsequence_occurrences(
+            ev, ["(A)-(B)-(C)-(D)"], method="count"
+        ).collect()
+    }
+    flat = ["A", "B", "C", "D"]
+    for i, seq in enumerate(seqs):
+        assert got[f"s{i}"] == _ref_greedy_count(seq, flat), i
+
+
+def test_mining_k4(spark):
+    """k=4 mining: presence support of the emergent 4-pattern."""
+    seqs = [
+        ["A", "B", "C", "D"],
+        ["A", "C", "B", "D"],
+        ["A", "B", "C"],
+    ]
+    df = _events_df(spark, seqs)
+    out = {
+        r["subseq"]: r["n_seqs"]
+        for r in frequent_subsequences(
+            df, max_k=4, min_support=1.0
+        ).collect()
+        if r["k"] == 4
+    }
+    assert out["(A)-(B)-(C)-(D)"] == 1.0
+    assert out["(A)-(C)-(B)-(D)"] == 1.0
+    assert "(B)-(A)-(C)-(D)" not in out
