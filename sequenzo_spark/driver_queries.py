@@ -1000,6 +1000,26 @@ def q_emlt_transrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spell_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Kaplan–Meier spell-survival curves per state
+    (with_event_history_analysis/spell_survival_analysis.py
+    _weighted_kaplan_meier :138 + the last-spell-censored status
+    convention :129): n.risk / n.event / surv / Greenwood std.err at every
+    distinct spell duration."""
+    from sequenzo_spark.operators.survival import spell_survival
+
+    turns = _event_turns(spark, sf_dir)
+    out = spell_survival(turns)
+    return out.select(
+        "stratum",
+        "time",
+        "n_risk",
+        "n_event",
+        F.round("surv", R).alias("surv"),
+        F.round("std_err", R).alias("std_err"),
+    )
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -1060,6 +1080,7 @@ QUERIES = {
     "prefix_divergence_topp": q_prefix_divergence_topp,
     "spell_suffix_stats": q_spell_suffix_stats,
     "emlt_transrate": q_emlt_transrate,
+    "spell_survival": q_spell_survival,
 }
 
 # ------------------------------------------------------------- oracle SQL
@@ -2557,6 +2578,50 @@ ORACLE_SQL = {
                                       AS DOUBLE)
                      END, {R}) AS merging_factor
         FROM c
+    """,
+    "spell_survival": f"""
+        WITH {_SPELLS_CTE},
+        sp AS (
+            SELECT state AS stratum, CAST(duration AS DOUBLE) AS time,
+                   CASE WHEN spell_id <> max(spell_id)
+                                 OVER (PARTITION BY seq_id)
+                        THEN 1.0 ELSE 0.0 END AS evw
+            FROM spells
+        ),
+        agg AS (
+            SELECT stratum, time, sum(evw) AS d, sum(1.0 - evw) AS c,
+                   CAST(count(*) AS DOUBLE) AS wt
+            FROM sp GROUP BY 1, 2
+        ),
+        wr AS (
+            SELECT *, sum(wt) OVER (PARTITION BY stratum ORDER BY time
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                      AS n_risk
+            FROM agg
+        ),
+        cum AS (
+            SELECT *,
+                CASE WHEN max(CASE WHEN d > 0 AND d >= n_risk THEN 1
+                                   ELSE 0 END)
+                          OVER (PARTITION BY stratum ORDER BY time
+                                ROWS UNBOUNDED PRECEDING) = 1
+                     THEN 0.0
+                     ELSE exp(sum(CASE WHEN d > 0 AND n_risk > d
+                                       THEN ln(1 - d / n_risk)
+                                       ELSE 0.0 END)
+                              OVER (PARTITION BY stratum ORDER BY time
+                                    ROWS UNBOUNDED PRECEDING))
+                END AS surv,
+                sum(CASE WHEN d > 0 AND n_risk > d
+                         THEN d / (n_risk * (n_risk - d)) ELSE 0.0 END)
+                    OVER (PARTITION BY stratum ORDER BY time
+                          ROWS UNBOUNDED PRECEDING) AS gvar
+            FROM wr WHERE d > 0 OR c > 0
+        )
+        SELECT stratum, time, n_risk, d AS n_event,
+               round(surv, {R}) AS surv,
+               round(surv * sqrt(gvar), {R}) AS std_err
+        FROM cum
     """,
     "emlt_transrate": f"""
         WITH {_TURNS_CTE},
