@@ -170,6 +170,7 @@ def prefix_divergence(
     df: DataFrame,
     z_threshold: float = 1.5,
     min_t: int = 2,
+    max_t: int | None = None,
     window: int = 1,
     inclusive: bool = False,
     method: str = "zscore",
@@ -223,6 +224,8 @@ def prefix_divergence(
     group; the output gains the group column."""
     if min_t < 1 or window < 1:
         raise ValueError("min_t and window must be >= 1")
+    if max_t is not None and max_t < min_t:
+        raise ValueError("max_t must be >= min_t")
     gcols = [group_col] if group_col else []
     pfx = _prefix_rows(df, seq_col, order_col, state_col, hashed)
     if group_col:
@@ -297,10 +300,14 @@ def prefix_divergence(
     za = F.transform(F.col("_zs"), lambda s: s["z"])
     w = int(window)
     # guard: a sequence shorter than min_t+window−1 has no start positions —
-    # without it F.sequence(min_t, smaller) would DESCEND (default step −1)
+    # without it F.sequence(min_t, smaller) would DESCEND (default step −1).
+    # max_t caps the search interval for the starting year (reference
+    # default None → T−window+1)
+    hi = F.size(za) - (w - 1)
+    if max_t is not None:
+        hi = F.least(hi, F.lit(int(max_t)))
     starts = F.when(
-        F.size(za) - (w - 1) >= int(min_t),
-        F.sequence(F.lit(int(min_t)), F.size(za) - (w - 1)),
+        hi >= int(min_t), F.sequence(F.lit(int(min_t)), hi)
     ).otherwise(F.array().cast("array<int>"))
     cands = F.filter(
         F.transform(

@@ -305,6 +305,7 @@ def suffix_convergence(
     df: DataFrame,
     z_threshold: float = 1.5,
     min_t: int = 1,
+    max_t: int | None = None,
     window: int = 1,
     inclusive: bool = False,
     method: str = "zscore",
@@ -348,6 +349,8 @@ def suffix_convergence(
     Output: seq_id, [group], std_score, converged, first_convergence_t."""
     if min_t < 1 or window < 1:
         raise ValueError("min_t and window must be >= 1")
+    if max_t is not None and max_t < min_t:
+        raise ValueError("max_t must be >= min_t")
     gcols = [group_col] if group_col else []
     sfx = _suffix_rows(df, seq_col, order_col, state_col)
     if group_col:
@@ -415,10 +418,7 @@ def suffix_convergence(
     )
     za = F.transform(F.col("_zs"), lambda s: s["z"])
     w = int(window)
-    starts = F.when(
-        F.size(za) - (w - 1) >= int(min_t),
-        F.sequence(F.lit(int(min_t)), F.size(za) - (w - 1)),
-    ).otherwise(F.array().cast("array<int>"))
+    starts = starts_of(za, min_t, w, max_t)
     cands = F.filter(
         F.transform(
             starts,
@@ -480,7 +480,7 @@ def suffix_convergence(
     za3 = F.transform(F.col("_zs"), lambda s: s["z"])
     cands3 = F.filter(
         F.transform(
-            starts_of(za3, min_t, w),
+            starts_of(za3, min_t, w, max_t),
             lambda p: F.struct(
                 p.alias("p"), F.array_max(F.slice(za3, p, w)).alias("wmax")
             ),
@@ -506,10 +506,14 @@ def suffix_convergence(
     )
 
 
-def starts_of(za, min_t: int, w: int):
-    """Window start years p ∈ [min_t, len(za)−w+1] (empty when the
-    sequence is too short — F.sequence would otherwise DESCEND)."""
+def starts_of(za, min_t: int, w: int, max_t: int | None = None):
+    """Window start years p ∈ [min_t, min(max_t, len(za)−w+1)] (empty when
+    the sequence is too short — F.sequence would otherwise DESCEND;
+    ``max_t`` is the reference's search-interval cap, default None →
+    T−window+1)."""
+    hi = F.size(za) - (w - 1)
+    if max_t is not None:
+        hi = F.least(hi, F.lit(int(max_t)))
     return F.when(
-        F.size(za) - (w - 1) >= int(min_t),
-        F.sequence(F.lit(int(min_t)), F.size(za) - (w - 1)),
+        hi >= int(min_t), F.sequence(F.lit(int(min_t)), hi)
     ).otherwise(F.array().cast("array<int>"))

@@ -405,3 +405,31 @@ def test_spell_mode_convergence_composition(spark):
             assert a["std_score"] is None, sid
         else:
             assert a["std_score"] == pytest.approx(b["std_score"]), sid
+
+
+def test_max_t_caps_search_interval(spark):
+    """max_t bounds the window start years (reference default None =
+    T−window+1): with max_t=1 only year 1 can qualify."""
+    rng = random.Random(41)
+    T = 4
+    seqs = [[rng.choice("AB") for _ in range(T)] for _ in range(12)]
+    full = {
+        r["seq_id"]: r
+        for r in suffix_convergence(
+            _df(spark, seqs), z_threshold=0.5, min_t=1, window=1
+        ).collect()
+    }
+    capped = {
+        r["seq_id"]: r
+        for r in suffix_convergence(
+            _df(spark, seqs), z_threshold=0.5, min_t=1, max_t=1, window=1
+        ).collect()
+    }
+    for sid, r in capped.items():
+        assert r["first_convergence_t"] in (0, 1), sid
+        if r["first_convergence_t"] == 1:
+            assert full[sid]["first_convergence_t"] == 1, sid
+    # capping can only remove convergence, never add it
+    assert sum(r["converged"] for r in capped.values()) <= sum(
+        r["converged"] for r in full.values()
+    )
