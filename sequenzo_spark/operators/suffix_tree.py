@@ -517,3 +517,59 @@ def starts_of(za, min_t: int, w: int, max_t: int | None = None):
     return F.when(
         hi >= int(min_t), F.sequence(F.lit(int(min_t)), hi)
     ).otherwise(F.array().cast("array<int>"))
+
+
+def suffix_rarity_per_level(
+    df: DataFrame,
+    zscore: bool = False,
+    seq_col: str = "seq_id",
+    order_col: str = "pos",
+    state_col: str = "state",
+) -> DataFrame:
+    """Per-(sequence, level) suffix rarity — the reference's
+    compute_suffix_rarity_per_year / compute_suffix_rarity_per_spell
+    (suffix_tree/individual_level_indicators.py:668,
+    spell_individual_level_indicators.py:83) in long format:
+    (seq_id, k, rarity) with k = suffix length (time index from end);
+    ``zscore=True`` returns the columnwise ddof-1 z instead (null at
+    zero-variance or single-row levels). Levels beyond a sequence's
+    length are simply absent (the reference's NaN cells)."""
+    sfx = _suffix_rows(df, seq_col, order_col, state_col)
+    freq = sfx.groupBy("k", "suffix").agg(F.count(F.lit(1)).alias("freq"))
+    joined = sfx.join(freq, ["k", "suffix"])
+    n_seqs = joined.select("seq_id").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    rar = joined.crossJoin(F.broadcast(n_seqs)).select(
+        "seq_id",
+        "k",
+        (
+            -F.log(
+                F.col("freq").cast("double") / F.col("_n").cast("double")
+                + F.lit(1e-10)
+            )
+        ).alias("rarity"),
+    )
+    if not zscore:
+        return rar
+    mstats = rar.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("rarity").alias("s1"),
+        (F.countDistinct("rarity") == 1).alias("zv"),
+    )
+    dev = F.col("rarity") - F.col("s1") / F.col("cnt")
+    stats = (
+        rar.join(F.broadcast(mstats), "k")
+        .groupBy("k")
+        .agg(F.sum(dev * dev).alias("ss"))
+        .join(F.broadcast(mstats), "k")
+    )
+    m = F.col("s1") / F.col("cnt")
+    z = F.when(
+        F.col("zv") | (F.col("cnt") < 2), F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("rarity") - m) / F.sqrt(F.col("ss") / (F.col("cnt") - 1))
+    )
+    return rar.join(F.broadcast(stats), "k").select(
+        "seq_id", "k", z.alias("rarity")
+    )

@@ -433,3 +433,26 @@ def test_max_t_caps_search_interval(spark):
     assert sum(r["converged"] for r in capped.values()) <= sum(
         r["converged"] for r in full.values()
     )
+
+
+def test_rarity_per_level_long_format(spark):
+    from sequenzo_spark.operators.suffix_tree import suffix_rarity_per_level
+
+    seqs = [["A", "B"], ["A", "B"], ["C", "B"]]
+    freq = _ref_suffix_freq(seqs)
+    N = len(seqs)
+    got = {
+        (r["seq_id"], r["k"]): r["rarity"]
+        for r in suffix_rarity_per_level(_df(spark, seqs)).collect()
+    }
+    for i, seq in enumerate(seqs):
+        for k in range(1, len(seq) + 1):
+            want = -math.log(freq[k][tuple(seq[-k:])] / N + 1e-10)
+            assert got[(f"s{i:02d}", k)] == pytest.approx(want), (i, k)
+    # zscore variant: level k=1 (all end in B, zero variance) → null
+    gz = {
+        (r["seq_id"], r["k"]): r["rarity"]
+        for r in suffix_rarity_per_level(_df(spark, seqs), zscore=True).collect()
+    }
+    assert gz[("s00", 1)] is None
+    assert gz[("s00", 2)] is not None
