@@ -1020,6 +1020,31 @@ def q_spell_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_badness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqibad (ranked_indicators.py:134): Σ_pos cost(state)·pos / Σ_pos
+    pos with default uniformly spaced precarity costs over the sorted
+    alphabet (linspace 0..1)."""
+    from sequenzo_spark.operators.ranked import badness_index
+
+    turns = _event_turns(spark, sf_dir)
+    out = badness_index(turns)
+    return out.select("seq_id", F.round("badness", R).alias("badness"))
+
+
+def q_degradation_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqidegrad, method=RANK defaults (ranked_indicators.py:198): over
+    DSS transitions, Σ (cost_to − cost_from)·j/Σ_{m≤j}m (for
+    penalized=BOTH the RANK weight times the sign IS the signed cost
+    difference), zeroed when no weighted transitions exist."""
+    from sequenzo_spark.operators.ranked import degradation_index
+
+    turns = _event_turns(spark, sf_dir)
+    out = degradation_index(turns)
+    return out.select(
+        "seq_id", F.round("degradation", R).alias("degradation")
+    )
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -1081,6 +1106,8 @@ QUERIES = {
     "spell_suffix_stats": q_spell_suffix_stats,
     "emlt_transrate": q_emlt_transrate,
     "spell_survival": q_spell_survival,
+    "badness_index": q_badness_index,
+    "degradation_index": q_degradation_index,
 }
 
 # ------------------------------------------------------------- oracle SQL
@@ -2578,6 +2605,54 @@ ORACLE_SQL = {
                                       AS DOUBLE)
                      END, {R}) AS merging_factor
         FROM c
+    """,
+    "badness_index": f"""
+        WITH {_TURNS_CTE},
+        alpha AS (
+            SELECT state, row_number() OVER (ORDER BY state) - 1 AS rnk,
+                   count(*) OVER () AS kk
+            FROM (SELECT DISTINCT state FROM turns)
+        ),
+        costed AS (
+            SELECT t.seq_id, CAST(t.pos AS DOUBLE) AS pw,
+                   CASE WHEN a.kk > 1
+                        THEN CAST(a.rnk AS DOUBLE) / (a.kk - 1)
+                        ELSE 0.0 END AS cost
+            FROM turns t JOIN alpha a ON t.state = a.state
+        )
+        SELECT seq_id, round(sum(cost * pw) / sum(pw), {R}) AS badness
+        FROM costed GROUP BY seq_id
+    """,
+    "degradation_index": f"""
+        WITH {_SPELLS_CTE},
+        alpha AS (
+            SELECT state, row_number() OVER (ORDER BY state) - 1 AS rnk,
+                   count(*) OVER () AS kk
+            FROM (SELECT DISTINCT state FROM turns)
+        ),
+        sp AS (
+            SELECT s.seq_id, s.spell_id AS j,
+                   CASE WHEN a.kk > 1
+                        THEN CAST(a.rnk AS DOUBLE) / (a.kk - 1)
+                        ELSE 0.0 END AS cost,
+                   lag(CASE WHEN a.kk > 1
+                            THEN CAST(a.rnk AS DOUBLE) / (a.kk - 1)
+                            ELSE 0.0 END)
+                       OVER (PARTITION BY s.seq_id ORDER BY s.spell_id)
+                       AS cost_from
+            FROM spells s JOIN alpha a ON s.state = a.state
+        )
+        SELECT seq_id,
+               round(CASE WHEN sum(CASE WHEN cost_from IS NOT NULL
+                                        THEN abs(cost - cost_from)
+                                             * (2.0 * j / (j * (j + 1)))
+                                        ELSE 0.0 END) > 0
+                          THEN sum(CASE WHEN cost_from IS NOT NULL
+                                        THEN (cost - cost_from)
+                                             * (2.0 * j / (j * (j + 1)))
+                                        ELSE 0.0 END)
+                          ELSE 0.0 END, {R}) AS degradation
+        FROM sp GROUP BY seq_id
     """,
     "spell_survival": f"""
         WITH {_SPELLS_CTE},
