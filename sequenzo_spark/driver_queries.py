@@ -1045,6 +1045,21 @@ def q_degradation_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pos_neg_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seqipos "share" (binary_indicators.py:131): proportion of positive
+    spells over the DSS (dss=True default), positive = {click, purchase,
+    signup}, negative = the alphabet complement."""
+    from sequenzo_spark.operators.indicators import positive_negative_indicator
+
+    turns = _event_turns(spark, sf_dir)
+    out = positive_negative_indicator(
+        turns,
+        pos_states=["click", "purchase", "signup"],
+        neg_states=["error", "view"],
+    )
+    return out.select("seq_id", F.round("share", R).alias("share"))
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -1108,6 +1123,7 @@ QUERIES = {
     "spell_survival": q_spell_survival,
     "badness_index": q_badness_index,
     "degradation_index": q_degradation_index,
+    "pos_neg_share": q_pos_neg_share,
 }
 
 # ------------------------------------------------------------- oracle SQL
@@ -2605,6 +2621,14 @@ ORACLE_SQL = {
                                       AS DOUBLE)
                      END, {R}) AS merging_factor
         FROM c
+    """,
+    "pos_neg_share": f"""
+        WITH {_SPELLS_CTE}
+        SELECT seq_id,
+               round(sum(CASE WHEN state IN ('click', 'purchase', 'signup')
+                              THEN 1.0 ELSE 0.0 END) / count(*), {R})
+                   AS share
+        FROM spells GROUP BY seq_id
     """,
     "badness_index": f"""
         WITH {_TURNS_CTE},

@@ -534,3 +534,86 @@ def state_freq_per_seq(
             ],
         )
     return p
+
+
+def positive_negative_indicator(
+    df: DataFrame,
+    pos_states: list[str] | None = None,
+    neg_states: list[str] | None = None,
+    index: str = "share",
+    dss: bool | None = None,
+    power: float = 1.0,
+    volatility_w: float = 0.5,
+    seq_col: str = "seq_id",
+    order_col: str = "pos",
+    state_col: str = "state",
+) -> DataFrame:
+    """Binary positive/negative indicators — TraMineR seqipos
+    (sequence_characteristics_indicators/binary_indicators.py:131, studied
+    not copied): states recode to 'p'/'n' (one side may be implied as the
+    alphabet complement; states in neither side become missing and drop
+    out — identical to the reference whenever pos ∪ neg covers the
+    alphabet), then
+
+      index="share":      n_p / (n_p + n_n), by default over the DSS
+                          (spells of the ORIGINAL states, recoded);
+      index="integr":     integration index of 'p' over the binary
+                          sequence (position-power weighted share);
+      index="volatility": volatility of the binary sequence (K = 2).
+
+    ``dss`` defaults to True only for "share" (the reference's default).
+    Output: seq_id, value (column named after ``index``)."""
+    if pos_states is None and neg_states is None:
+        raise ValueError("give pos_states and/or neg_states")
+    if index not in ("share", "integr", "volatility"):
+        raise ValueError("index must be share, integr or volatility")
+    if dss is None:
+        dss = index == "share"
+    if pos_states is None or neg_states is None:
+        alpha = sorted(
+            r[0] for r in df.select(state_col).distinct().collect()
+        )
+        if pos_states is None:
+            pos_states = [s for s in alpha if s not in set(neg_states)]
+        else:
+            neg_states = [s for s in alpha if s not in set(pos_states)]
+    overlap = set(pos_states) & set(neg_states)
+    if overlap:
+        raise ValueError(f"states in both sides: {sorted(overlap)}")
+
+    if dss:
+        src = spell_table(df, seq_col, order_col, state_col).select(
+            F.col("seq_id"),
+            F.col("spell_id").alias("_p"),
+            F.col("state").alias("_s"),
+        )
+    else:
+        src = df.select(
+            F.col(seq_col).alias("seq_id"),
+            F.col(order_col).alias("_p"),
+            F.col(state_col).alias("_s"),
+        )
+    binary = (
+        F.when(F.col("_s").isin(list(pos_states)), F.lit("p"))
+        .when(F.col("_s").isin(list(neg_states)), F.lit("n"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rows = src.select("seq_id", "_p", binary.alias("_b")).filter(
+        F.col("_b").isNotNull()
+    )
+    if index == "share":
+        return rows.groupBy("seq_id").agg(
+            (
+                F.sum(F.when(F.col("_b") == "p", 1.0).otherwise(0.0))
+                / F.count(F.lit(1))
+            ).alias("share")
+        )
+    if index == "integr":
+        return integration_index(
+            rows, "p", power=power, seq_col="seq_id", order_col="_p",
+            state_col="_b",
+        ).select("seq_id", F.col("integration").alias("integr"))
+    return sequence_indicators(
+        rows, n_states=2, volatility_w=volatility_w, seq_col="seq_id",
+        order_col="_p", state_col="_b",
+    ).select("seq_id", "volatility")

@@ -102,8 +102,6 @@ def _ref_tratedss_weights(seqs, order, border_effect=10.0):
     return {(a, b): tr[idx[a], idx[b]] for a in order for b in order}
 
 
-SEQS = None
-
 
 def _toy(seed=11, n=18, tmax=9):
     rng = random.Random(seed)
@@ -228,3 +226,46 @@ def test_equal_costs_act_as_equivalence_class(spark):
     # A<->B moves cost 0 (tied costs); only A->C at spell 4 contributes:
     # tr = 1, sign = +1, integ = 4/(1+2+3+4)
     assert got == pytest.approx(4 / 10)
+
+
+def test_positive_negative_indicators(spark):
+    """seqipos mirror: share over DSS spells, integr over binary turns,
+    volatility over binary turns."""
+    from sequenzo_spark.operators.indicators import positive_negative_indicator
+
+    seqs = _toy(seed=13, n=12, tmax=7)
+    pos, neg = ["A"], ["B", "C"]
+    df = _df(spark, seqs)
+
+    share = {r["seq_id"]: r["share"]
+             for r in positive_negative_indicator(df, pos, neg).collect()}
+    integ = {r["seq_id"]: r["integr"]
+             for r in positive_negative_indicator(
+                 df, pos, neg, index="integr", power=1.0).collect()}
+    vol = {r["seq_id"]: r["volatility"]
+           for r in positive_negative_indicator(
+               df, pos, neg, index="volatility").collect()}
+    for i, seq in enumerate(seqs):
+        d = _dss(seq)
+        want_share = sum(1 for s in d if s in pos) / len(d)
+        assert share[f"s{i:02d}"] == pytest.approx(want_share), i
+        b = ["p" if s in pos else "n" for s in seq]
+        den = sum(t + 1 for t in range(len(b)))
+        want_integ = sum(t + 1 for t, s in enumerate(b) if s == "p") / den
+        assert integ[f"s{i:02d}"] == pytest.approx(want_integ), i
+        visited = len(set(b))
+        trans = sum(1 for t in range(1, len(b)) if b[t] != b[t - 1])
+        tn = 0.0 if len(b) <= 1 else trans / (len(b) - 1)
+        want_vol = 0.5 * (visited - 1) / 1 + 0.5 * tn
+        assert vol[f"s{i:02d}"] == pytest.approx(want_vol), i
+
+
+def test_positive_negative_complement_and_validation(spark):
+    from sequenzo_spark.operators.indicators import positive_negative_indicator
+
+    df = _df(spark, [["A", "B", "C"]])
+    # neg implied as complement of pos
+    r = positive_negative_indicator(df, pos_states=["A"], dss=False).collect()
+    assert r[0]["share"] == pytest.approx(1 / 3)
+    with pytest.raises(ValueError):
+        positive_negative_indicator(df, ["A"], ["A", "B"]).collect()
