@@ -196,7 +196,17 @@ def minhash_lsh_candidates(
     The internal signature table is persisted (it feeds the band join and
     both re-attach joins); the handle is exposed on the result as
     ``result._sig_cache`` so long-lived sessions can release the storage
-    after materializing the pairs: ``result._sig_cache.unpersist()``."""
+    after materializing the pairs: ``result._sig_cache.unpersist()``.
+
+    Timing note (round-5 probe): computing the 64-hash signatures is
+    itself ~70-80% of this query's wall at sf0.1 (~4 s of ~5 s warm).
+    Round 3's 2.0 s "warm" number predates the cache registries — its
+    second run silently reused the FIRST run's still-persisted signature
+    table (the leak the round-3 advisor flagged); once releases run
+    between plans, the honest warm time includes signature computation.
+    At production scale the signature table is materialized once and
+    shared across band joins and rescoring — the persist-and-reuse path
+    ``minhash_verified_pairs`` demonstrates."""
     rows = n_hashes // bands
     # Persist signatures: referenced three times below (band join on ids,
     # then one re-attach per pair side). At cluster scale this is the
