@@ -1060,6 +1060,17 @@ def q_pos_neg_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("seq_id", F.round("share", R).alias("share"))
 
 
+def q_duration_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FES duration features (build_duration_features,
+    feature_extraction_and_selection/duration_timing_feature_builders.py:27):
+    dense DUR_<state> totals of spell steps per sequence, long format."""
+    from sequenzo_spark.operators.features import duration_features
+
+    turns = _event_turns(spark, sf_dir)
+    out = duration_features(turns)
+    return out.select("seq_id", "feature", "value")
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -1124,6 +1135,7 @@ QUERIES = {
     "badness_index": q_badness_index,
     "degradation_index": q_degradation_index,
     "pos_neg_share": q_pos_neg_share,
+    "duration_features": q_duration_features,
 }
 
 # ------------------------------------------------------------- oracle SQL
@@ -2621,6 +2633,19 @@ ORACLE_SQL = {
                                       AS DOUBLE)
                      END, {R}) AS merging_factor
         FROM c
+    """,
+    "duration_features": f"""
+        WITH {_SPELLS_CTE},
+        seqs AS (SELECT DISTINCT seq_id FROM spells),
+        states AS (SELECT DISTINCT state FROM spells),
+        per AS (
+            SELECT seq_id, state, sum(CAST(duration AS DOUBLE)) AS v
+            FROM spells GROUP BY 1, 2
+        )
+        SELECT s.seq_id, 'DUR_' || st.state AS feature,
+               coalesce(p.v, 0.0) AS value
+        FROM seqs s CROSS JOIN states st
+        LEFT JOIN per p ON p.seq_id = s.seq_id AND p.state = st.state
     """,
     "pos_neg_share": f"""
         WITH {_SPELLS_CTE}
