@@ -269,3 +269,47 @@ def test_positive_negative_complement_and_validation(spark):
     assert r[0]["share"] == pytest.approx(1 / 3)
     with pytest.raises(ValueError):
         positive_negative_indicator(df, ["A"], ["A", "B"]).collect()
+
+
+def _ref_turnlevel_weights(seqs, order, method, border_effect=10.0):
+    """FREQ (global proportions) / TRATE (row rates) over TURN-level lag-1
+    transitions (self-transitions included in the totals), then the same
+    border/ADD/normalize steps."""
+    k = len(order)
+    idx = {s: i for i, s in enumerate(order)}
+    cnt = np.zeros((k, k))
+    for seq in seqs:
+        for a, b in zip(seq, seq[1:]):
+            cnt[idx[a], idx[b]] += 1
+    if method == "FREQ":
+        tr = cnt / cnt.sum()
+    else:
+        rows = cnt.sum(axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tr = np.where(rows > 0, cnt / rows, 0.0)
+    np.fill_diagonal(tr, 0.0)
+    if np.any(tr > 1 - 0.1 / border_effect):
+        tr = tr - tr / border_effect
+    tr = 1 - tr
+    pos = tr[tr > 0]
+    if pos.size:
+        tr = tr / pos.max()
+    np.fill_diagonal(tr, 0.0)
+    return {(a, b): tr[idx[a], idx[b]] for a in order for b in order}
+
+
+@pytest.mark.parametrize("method", ["FREQ", "TRATE"])
+def test_degradation_turnlevel_methods(spark, method):
+    seqs = _toy(seed=19)
+    order = sorted({s for q in seqs for s in q})
+    costs = state_precarity_costs(order)
+    wmap = _ref_turnlevel_weights(seqs, order, method)
+    got = {
+        r["seq_id"]: r["degradation"]
+        for r in degradation_index(
+            _df(spark, seqs), method=method, spell_integr=False
+        ).collect()
+    }
+    for i, seq in enumerate(seqs):
+        want = _ref_degradation(seq, costs, spell_integr=False, tr_lookup=wmap)
+        assert got[f"s{i:02d}"] == pytest.approx(want), (i, seq)
