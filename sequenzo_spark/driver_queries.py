@@ -1071,6 +1071,28 @@ def q_duration_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("seq_id", "feature", "value")
 
 
+def q_sequence_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHA person-period history rows (get_sequence_history_data,
+    with_event_history_analysis/sequence_history_analysis.py:116), long
+    recast carrying both the left-aligned position index and the
+    right-aligned Tm index; observation duration capped at 12 periods
+    (SHA is inherently quadratic in duration)."""
+    from sequenzo_spark.functions.history import sequence_history_data
+
+    turns = _event_turns(spark, sf_dir)
+    lens = turns.groupBy("seq_id").agg(F.max("pos").alias("_n"))
+    dur = lens.select(
+        "seq_id",
+        F.least(F.col("_n"), F.lit(12)).alias("time"),
+        F.lit(True).alias("event"),
+    )
+    out = sequence_history_data(turns, dur)
+    return out.select(
+        "seq_id", "t", F.col("event").cast("int").alias("event"),
+        "hist_pos", "tm", "state",
+    )
+
+
 QUERIES = {
     "state_dist_hourly": q_state_dist_hourly,
     "xsect_entropy_hourly": q_xsect_entropy_hourly,
@@ -1136,6 +1158,7 @@ QUERIES = {
     "degradation_index": q_degradation_index,
     "pos_neg_share": q_pos_neg_share,
     "duration_features": q_duration_features,
+    "sequence_history": q_sequence_history,
 }
 
 # ------------------------------------------------------------- oracle SQL
@@ -2633,6 +2656,24 @@ ORACLE_SQL = {
                                       AS DOUBLE)
                      END, {R}) AS merging_factor
         FROM c
+    """,
+    "sequence_history": f"""
+        WITH {_TURNS_CTE},
+        lens AS (SELECT seq_id, CAST(max(pos) AS INT) AS n
+                 FROM turns GROUP BY seq_id),
+        periods AS (
+            SELECT seq_id, unnest(range(1, least(n, 12) + 1)) AS t,
+                   least(n, 12) AS tmax
+            FROM lens
+        )
+        SELECT p.seq_id, CAST(p.t AS INT) AS t,
+               CAST(CASE WHEN p.t = p.tmax THEN 1 ELSE 0 END AS INT)
+                   AS event,
+               CAST(tu.pos AS INT) AS hist_pos,
+               CAST(p.t - tu.pos AS INT) AS tm,
+               tu.state
+        FROM periods p JOIN turns tu
+          ON tu.seq_id = p.seq_id AND tu.pos < p.t
     """,
     "duration_features": f"""
         WITH {_SPELLS_CTE},
