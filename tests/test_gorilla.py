@@ -99,3 +99,24 @@ def test_compression_ratio_on_rollup_like_series():
     np.testing.assert_array_equal(
         decode_values(vb, vbits, n).view(np.uint64), vals.view(np.uint64)
     )
+
+
+def test_large_roundtrip_rollup_and_random():
+    """Scale guard for the vectorized codec: 5k-point rollup-like and
+    adversarial random streams round-trip bit-exactly (the window-reset
+    walk, multi-word packing, and payload gather all cross word
+    boundaries many times at this size)."""
+    rng = np.random.default_rng(123)
+    n = 5000
+    ts = (
+        np.int64(1_700_000_000_000_000)
+        + np.arange(n) * 60_000_000
+        + rng.integers(-5, 5, n)
+    )
+    _roundtrip_ts(np.sort(ts))
+    vals = np.round(50 + np.cumsum(rng.normal(0, 1, n))).astype(np.float64)
+    _roundtrip_vals(vals)
+    _roundtrip_vals(rng.random(n) * np.exp(rng.normal(0, 200, n)))
+    # long constant runs interleaved with jumps (control-stream stress)
+    stepped = np.repeat(rng.random(50), 100)
+    _roundtrip_vals(stepped)

@@ -268,3 +268,30 @@ def test_hashed_keys_equal_string_keys(spark):
     a = sorted(map(tuple, suffix_rarity(df).collect()))
     b = sorted(map(tuple, suffix_rarity(df, hashed=True).collect()))
     assert a == b
+
+
+def test_hashed_keys_are_fixed_width(spark):
+    """The hashed path's shuffle key must be an 8-byte long, not the
+    O(depth) string (the scale rationale for hashed=True)."""
+    from pyspark.sql.types import LongType, StringType
+
+    from sequenzo_spark.operators.prefix_tree import _prefix_rows
+
+    df = _df(spark, [["A", "B", "C"]])
+    assert isinstance(
+        _prefix_rows(df).schema["prefix"].dataType, StringType
+    )
+    assert isinstance(
+        _prefix_rows(df, hashed=True).schema["prefix"].dataType, LongType
+    )
+    # the (t, prefix) aggregation's exchange therefore carries fixed-width
+    # keys; assert the plan aggregates on the bigint column end-to-end
+    plan = (
+        _prefix_rows(df, hashed=True)
+        .groupBy("t", "prefix")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "prefix#" in plan and "HashAggregate" in plan
