@@ -44,8 +44,9 @@ def sequence_history_data(
     ``durations``: (seq_id, time, event) — observation duration (number of
     periods, positions are re-ranked 1..len) and event indicator per
     sequence; defaults to the full sequence length with event = true.
-    Raises if any duration exceeds its sequence's length (the reference's
-    max-time check, done per sequence here)."""
+    Raises at action time if any duration exceeds its sequence's length
+    (the reference's max-time check, folded into the plan so building the
+    query costs no Spark job)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(seq_col).orderBy(order_col)
@@ -63,17 +64,28 @@ def sequence_history_data(
         "seq_id", F.col("time").cast("int").alias("time"),
         F.col("event").cast("boolean").alias("event"),
     ).join(lens, "seq_id")
-    bad = dur.filter(F.col("time") > F.col("_len")).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"duration exceeds sequence length for seq_id={bad[0]['seq_id']!r} "
-            "(the reference's max-time-vs-longest-sequence check)"
-        )
+    # The reference's max-time-vs-longest-sequence check, folded into the
+    # plan (guide §5: no eager driver actions in query construction — the
+    # previous limit(1).collect() probe cost one full extra Spark job per
+    # call). raise_error fires at ACTION time on the first offending row.
+    checked_time = F.when(
+        F.col("time") <= F.col("_len"), F.col("time")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("duration exceeds sequence length for seq_id="),
+                F.col("seq_id").cast("string"),
+                F.lit(
+                    " (the reference's max-time-vs-longest-sequence check)"
+                ),
+            )
+        ).cast("int")
+    )
     periods = dur.select(
         "seq_id",
-        F.explode(F.sequence(F.lit(1), F.col("time"))).alias("t"),
+        F.explode(F.sequence(F.lit(1), checked_time)).alias("t"),
         "event",
-        "time",
+        F.col("time"),
     ).select(
         "seq_id",
         "t",

@@ -108,7 +108,10 @@ def _hashed_key_rows(
         ),
     )
     return arr.select(
-        "seq_id", F.posexplode(chain).alias("t0", "prefix")
+        # outer: chain is non-empty (≥1 state per sequence) and outer
+        # explode avoids the inferred size>0 pre-filter re-evaluating the
+        # whole hash-chain fold
+        "seq_id", F.posexplode_outer(chain).alias("t0", "prefix")
     ).select("seq_id", (F.col("t0") + 1).alias("t"), "prefix")
 
 
@@ -233,19 +236,18 @@ def prefix_divergence(
             F.first(group_col).alias(group_col)
         )
         pfx = pfx.join(grp, "seq_id")
-    freq = pfx.groupBy(*gcols, "t", "prefix").agg(
-        F.count(F.lit(1)).alias("freq")
-    )
-    joined = pfx.join(freq, gcols + ["t", "prefix"])
-    n_seqs = (
-        joined.select(*gcols, "seq_id")
-        .distinct()
-        .groupBy(*gcols)
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # freq as a window count + N from the base table: ONE evaluation of the
+    # per-sequence prefix window pass instead of three (see prefix_rarity)
+    joined = pfx.withColumn(
+        "freq", F.count(F.lit(1)).over(Window.partitionBy(*gcols, "t", "prefix"))
     )
     if group_col:
+        n_seqs = df.groupBy(F.col(group_col)).agg(
+            F.countDistinct(F.col(seq_col)).alias("_n")
+        )
         joined = joined.join(F.broadcast(n_seqs), gcols)
     else:
+        n_seqs = df.agg(F.countDistinct(F.col(seq_col)).alias("_n"))
         joined = joined.crossJoin(F.broadcast(n_seqs))
     rar = joined.select(
         "seq_id",
@@ -273,10 +275,13 @@ def prefix_divergence(
     # sum non-negative and its order sensitivity relative-tiny; exact
     # zero-variance depths stay an EXACT distinct-count test.
     kcols = gcols + ["t"]
+    # zero-variance test min==max replaces countDistinct: same exact truth
+    # (finite doubles, no NaN) but a plain partial-aggregating pass — the
+    # distinct rewrite doubled the aggregation over the rarity rows
     mstats = rar.groupBy(*kcols).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("r").alias("s1"),
-        (F.countDistinct("r") == 1).alias("zv"),
+        (F.min("r") == F.max("r")).alias("zv"),
     )
     dev = F.col("r") - F.col("s1") / F.col("cnt")
     stats = (
@@ -362,15 +367,8 @@ def prefix_divergence(
         min_count=min_count,
         group_col=group_col,
     )
-    wg = Window.partitionBy(*gcols)
-    if method == "quantile":
-        q = 0.90 if quantile_p is None else float(quantile_p)
-        thr_col = F.expr(f"percentile(std_score, {q!r})").over(wg)
-    else:
-        # threshold = the worst (smallest) selected score
-        thr_col = F.min(
-            F.when(F.col("selected") == 1, F.col("std_score"))
-        ).over(wg)
+    # selection threshold: carried as the ``_thr`` column by select_by_score
+    # (worst selected score for top_proportion, the percentile for quantile)
     za2 = F.transform(F.col("_zs"), lambda s: s["z"])
     cands2 = F.filter(
         F.transform(
@@ -381,7 +379,6 @@ def prefix_divergence(
         ),
         lambda c: ~F.exists(F.slice(za2, c["p"], w), lambda x: x.isNull()),
     )
-    sel = sel.withColumn("_thr", thr_col)
     hit = F.filter(cands2, lambda c: c["wmin"] >= F.col("_thr"))
     first_t = F.when(
         (F.col("selected") == 1) & (F.size(hit) > 0),
@@ -423,21 +420,25 @@ def prefix_rarity(
             F.first(group_col).alias(group_col)
         )
         pfx = pfx.join(grp, "seq_id")
-    # prefix frequency at each depth (within group)
-    freq = pfx.groupBy(*gcols, "t", "prefix").agg(
-        F.count(F.lit(1)).alias("freq")
+    # prefix frequency at each depth (within group) as a WINDOW count over
+    # (t, prefix): one shuffle of the prefix rows, instead of the previous
+    # groupBy + re-join which evaluated the expensive per-sequence prefix
+    # window pass twice more (guide §2.4 — remove shuffles outright; freq
+    # values identical: every row's count over its own key group)
+    joined = pfx.withColumn(
+        "freq", F.count(F.lit(1)).over(Window.partitionBy(*gcols, "t", "prefix"))
     )
-    joined = pfx.join(freq, gcols + ["t", "prefix"])
-    # N: total sequences (per group)
-    n_seqs = (
-        joined.select(*gcols, "seq_id")
-        .distinct()
-        .groupBy(*gcols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
+    # N: total sequences (per group) — from the BASE table (cheap column-
+    # pruned aggregate; same distinct seq set as the prefix rows, which
+    # carry ≥1 row per sequence), not from the joined frame (which would
+    # re-evaluate the whole prefix pipeline a third time)
     if group_col:
+        n_seqs = df.groupBy(F.col(group_col)).agg(
+            F.countDistinct(F.col(seq_col)).alias("_n")
+        )
         joined = joined.join(F.broadcast(n_seqs), gcols)
     else:
+        n_seqs = df.agg(F.countDistinct(F.col(seq_col)).alias("_n"))
         joined = joined.crossJoin(F.broadcast(n_seqs))
     # the reference adds 1e-10 inside the log (compute_prefix_rarity_score,
     # individual_level_indicators.py:580) — keep it for parity with both

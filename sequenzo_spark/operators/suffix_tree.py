@@ -123,29 +123,35 @@ def suffix_tree_stats(
     reference's all-substrings tree is O(T²) keys per sequence, a
     scale-killer for long transcripts; with ``max_len`` the row count is
     T·max_len per sequence and the t ≤ max_len outputs are IDENTICAL to
-    the unbounded tree's."""
-    arr = df.groupBy(F.col(seq_col).alias("seq_id")).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(order_col).alias("p"), F.col(state_col).alias("s")))
-        ).alias("_a")
+    the unbounded tree's.
+
+    Round-6 shape: one window pass collects, per POSITION, the next
+    ``max_len`` states (a bounded per-row array); the grams starting at
+    that position are prefixes of that small array. The previous
+    per-sequence nested transform re-walked the whole sequence array for
+    every gram (O(T) interpreted element accesses per gram — ~8 s of the
+    9 s total at sf0.1); this form does O(max_len²) bounded work per
+    position inside the same one-shuffle plan."""
+    frame_end = (
+        int(max_len) - 1 if max_len is not None else Window.unboundedFollowing
     )
-    sts = F.transform(F.col("_a"), lambda x: x["s"])
-    L = F.size(sts)
-    cap = F.lit(int(max_len)) if max_len is not None else L
-    grams = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), L),
-            lambda s: F.transform(
-                F.sequence(F.lit(1), F.least(cap, L - s + 1)),
-                lambda t: F.struct(
-                    t.alias("t"),
-                    F.concat_ws(SEP, F.slice(sts, s, t)).alias("g"),
-                ),
-            ),
-        )
+    w = (
+        Window.partitionBy(seq_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, frame_end)
+    )
+    rows = df.select(F.collect_list(state_col).over(w).alias("_w"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w")),
+        lambda t: F.struct(
+            t.alias("t"), F.concat_ws(SEP, F.slice("_w", 1, t)).alias("g")
+        ),
     )
     per_t = (
-        arr.select(F.explode(grams).alias("e"))
+        # explode_outer: grams is non-empty for every position row and
+        # outer explode stops InferFiltersFromGenerate from duplicating
+        # the gram-building expression into a pre-filter
+        rows.select(F.explode_outer(grams).alias("e"))
         .select(F.col("e.t").alias("t"), F.col("e.g").alias("g"))
         .groupBy("t")
         .agg(F.countDistinct("g").alias("n_suffixes"))
@@ -204,19 +210,19 @@ def suffix_rarity(
             F.first(group_col).alias(group_col)
         )
         sfx = sfx.join(grp, "seq_id")
-    freq = sfx.groupBy(*gcols, "k", "suffix").agg(
-        F.count(F.lit(1)).alias("freq")
-    )
-    joined = sfx.join(freq, gcols + ["k", "suffix"])
-    n_seqs = (
-        joined.select(*gcols, "seq_id")
-        .distinct()
-        .groupBy(*gcols)
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # freq as a window count over (k, suffix) + N from the base table: ONE
+    # evaluation of the per-sequence suffix window pass instead of three
+    # (the groupBy + re-join + distinct-N each re-derived it — guide §2.4)
+    joined = sfx.withColumn(
+        "freq", F.count(F.lit(1)).over(Window.partitionBy(*gcols, "k", "suffix"))
     )
     if group_col:
+        n_seqs = df.groupBy(F.col(group_col)).agg(
+            F.countDistinct(F.col(seq_col)).alias("_n")
+        )
         joined = joined.join(F.broadcast(n_seqs), gcols)
     else:
+        n_seqs = df.agg(F.countDistinct(F.col(seq_col)).alias("_n"))
         joined = joined.crossJoin(F.broadcast(n_seqs))
     rar = -F.log(
         F.col("freq").cast("double") / F.col("_n").cast("double")
@@ -262,42 +268,112 @@ def select_by_score(
     argsort); here ties break by seq_id — identical whenever input order
     is seq_id order. quantile: flag scores beyond the linear-interpolated
     quantile (numpy nanquantile default), ≤ for "low", ≥ for "high".
-    Null scores are never selected. Adds an int ``selected`` column."""
+    Null scores are never selected. Adds an int ``selected`` column and a
+    ``_thr`` column (the selection threshold = the most extreme NON-selected
+    boundary value: worst selected score for top_proportion, the quantile
+    for quantile — callers use it for first-crossing logic and drop it).
+
+    Scale shape (round-6 rewrite): the UNGROUPED paths derive the
+    threshold from AGGREGATES — count + bounded per-partition top-k for
+    the k-th order statistic, or an exact percentile aggregate — then
+    select by plain comparison; the only remaining rank runs over the
+    TIE rows at the threshold boundary (normally ~1 row). The previous
+    ``Window.partitionBy()`` funnelled EVERY per-sequence score through
+    one task (the round-5 verdict's scale-killer). The grouped paths keep
+    per-group windows (bounded by group size)."""
     if direction not in ("low", "high"):
         raise ValueError("direction must be 'low' or 'high'")
-    gcols = [group_col] if group_col else []
-    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    low = direction == "low"
     sc = F.col(score_col)
     if method in ("top_proportion", "topk", "proportion", "rank"):
         p = 0.10 if proportion is None else float(proportion)
-        order = (
-            [sc.asc_nulls_last(), F.col("seq_id").asc()]
-            if direction == "low"
-            else [sc.desc_nulls_last(), F.col("seq_id").desc()]
+        if group_col:
+            wg = Window.partitionBy(group_col)
+            order = (
+                [sc.asc_nulls_last(), F.col("seq_id").asc()]
+                if low
+                else [sc.desc_nulls_last(), F.col("seq_id").desc()]
+            )
+            wr = wg.orderBy(*order)
+            n_valid = F.sum(F.when(sc.isNotNull(), 1).otherwise(0)).over(wg)
+            kk = F.greatest(
+                F.floor(F.lit(p) * n_valid), F.lit(int(min_count))
+            )
+            kk = F.least(kk, n_valid)
+            sel = (F.row_number().over(wr) <= kk) & sc.isNotNull()
+            out = scored.withColumn("selected", sel.cast("int"))
+            thr = (F.max if low else F.min)(
+                F.when(F.col("selected") == 1, sc)
+            ).over(wg)
+            return out.withColumn("_thr", thr)
+        import math
+
+        # aggregate-derived threshold: the selected set is {score strictly
+        # more extreme than s*} ∪ {the first (k − |strict|) boundary ties
+        # by seq_id}, where s* = the k-th most extreme score. s* is exactly
+        # the worst selected score, i.e. the old window formulation's
+        # max/min-over-selected threshold.
+        cached = scored.persist()
+        _LIVE_SUFFIX_CACHES.append(cached)
+        n_valid = cached.where(sc.isNotNull()).count()
+        k = min(max(math.floor(p * n_valid), int(min_count)), n_valid)
+        if k <= 0:
+            return cached.withColumn("selected", F.lit(0)).withColumn(
+                "_thr", F.lit(None).cast("double")
+            )
+        s_star = (
+            cached.where(sc.isNotNull())
+            .select(sc.alias("_s"))
+            .orderBy(F.col("_s").asc() if low else F.col("_s").desc())
+            .limit(k)
+            .agg((F.max if low else F.min)("_s").alias("_s"))
+            .first()[0]
         )
-        wr = wg.orderBy(*order)
-        n_valid = F.sum(
-            F.when(sc.isNotNull(), 1).otherwise(0)
-        ).over(wg)
-        kk = F.greatest(
-            F.floor(F.lit(p) * n_valid), F.lit(int(min_count))
+        strict = (sc < F.lit(s_star)) if low else (sc > F.lit(s_star))
+        budget = k - cached.where(strict).count()
+        tw = Window.orderBy(
+            F.col("seq_id").asc() if low else F.col("seq_id").desc()
         )
-        kk = F.least(kk, n_valid)
-        sel = (
-            (F.row_number().over(wr) <= kk) & sc.isNotNull()
+        tie_sel = (
+            cached.where(sc == F.lit(s_star))
+            .select("seq_id")
+            .withColumn("_tie_rk", F.row_number().over(tw))
+            .where(F.col("_tie_rk") <= budget)
+            .select("seq_id", F.lit(1).alias("_tie_sel"))
         )
-        return scored.withColumn("selected", sel.cast("int"))
+        out = cached.join(F.broadcast(tie_sel), "seq_id", "left")
+        sel = sc.isNotNull() & (strict | F.col("_tie_sel").isNotNull())
+        return (
+            out.withColumn("selected", sel.cast("int"))
+            .withColumn("_thr", F.lit(float(s_star)))
+            .drop("_tie_sel")
+        )
     if method == "quantile":
         q = (
-            (0.10 if direction == "low" else 0.90)
+            (0.10 if low else 0.90)
             if quantile_p is None
             else float(quantile_p)
         )
-        xq = F.expr(f"percentile({score_col}, {q!r})").over(wg)
+        if group_col:
+            wg = Window.partitionBy(group_col)
+            xq = F.expr(f"percentile({score_col}, {q!r})").over(wg)
+            sel = ((sc <= xq) if low else (sc >= xq)) & sc.isNotNull()
+            return scored.withColumn("selected", sel.cast("int")).withColumn(
+                "_thr", xq
+            )
+        # exact percentile as an AGGREGATE (identical value to the old
+        # whole-frame window percentile: same function, same multiset),
+        # broadcast back — no single-partition window
+        cached = scored.persist()
+        _LIVE_SUFFIX_CACHES.append(cached)
+        thr_df = cached.agg(
+            F.expr(f"percentile({score_col}, {q!r})").alias("_thr")
+        )
+        out = cached.crossJoin(F.broadcast(thr_df))
         sel = (
-            (sc <= xq) if direction == "low" else (sc >= xq)
+            (sc <= F.col("_thr")) if low else (sc >= F.col("_thr"))
         ) & sc.isNotNull()
-        return scored.withColumn("selected", sel.cast("int"))
+        return out.withColumn("selected", sel.cast("int"))
     raise ValueError(f"unknown selection method: {method!r}")
 
 
@@ -358,19 +434,18 @@ def suffix_convergence(
             F.first(group_col).alias(group_col)
         )
         sfx = sfx.join(grp, "seq_id")
-    freq = sfx.groupBy(*gcols, "k", "suffix").agg(
-        F.count(F.lit(1)).alias("freq")
-    )
-    joined = sfx.join(freq, gcols + ["k", "suffix"])
-    n_seqs = (
-        joined.select(*gcols, "seq_id")
-        .distinct()
-        .groupBy(*gcols)
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # freq via window count + base-table N (see suffix_rarity): one
+    # evaluation of the suffix window pass instead of three
+    joined = sfx.withColumn(
+        "freq", F.count(F.lit(1)).over(Window.partitionBy(*gcols, "k", "suffix"))
     )
     if group_col:
+        n_seqs = df.groupBy(F.col(group_col)).agg(
+            F.countDistinct(F.col(seq_col)).alias("_n")
+        )
         joined = joined.join(F.broadcast(n_seqs), gcols)
     else:
+        n_seqs = df.agg(F.countDistinct(F.col(seq_col)).alias("_n"))
         joined = joined.crossJoin(F.broadcast(n_seqs))
     rar = joined.select(
         "seq_id",
@@ -391,10 +466,12 @@ def suffix_convergence(
     # one-pass form cancels catastrophically near zero variance and its
     # sign flips with summation order → NaN z)
     kcols = gcols + ["k"]
+    # zero-variance test min==max replaces countDistinct: same exact truth
+    # (finite doubles, no NaN) without the distinct rewrite's double pass
     mstats = rar.groupBy(*kcols).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("r").alias("s1"),
-        (F.countDistinct("r") == 1).alias("zv"),
+        (F.min("r") == F.max("r")).alias("zv"),
     )
     dev = F.col("r") - F.col("s1") / F.col("cnt")
     stats = (
@@ -468,15 +545,8 @@ def suffix_convergence(
         min_count=min_count,
         group_col=group_col,
     )
-    wg = Window.partitionBy(*gcols)
-    if method == "quantile":
-        q = 0.10 if quantile_p is None else float(quantile_p)
-        thr_col = F.expr(f"percentile(std_score, {q!r})").over(wg)
-    else:
-        # top_proportion threshold = the k-th selected (worst selected) score
-        thr_col = F.max(
-            F.when(F.col("selected") == 1, F.col("std_score"))
-        ).over(wg)
+    # selection threshold: carried as the ``_thr`` column by select_by_score
+    # (worst selected score for top_proportion, the percentile for quantile)
     za3 = F.transform(F.col("_zs"), lambda s: s["z"])
     cands3 = F.filter(
         F.transform(
@@ -487,7 +557,6 @@ def suffix_convergence(
         ),
         lambda c: ~F.exists(F.slice(za3, c["p"], w), lambda x: x.isNull()),
     )
-    sel = sel.withColumn("_thr", thr_col)
     hit = F.filter(cands3, lambda c: c["wmax"] <= F.col("_thr"))
     first_t = F.when(
         (F.col("selected") == 1) & (F.size(hit) > 0),
@@ -535,11 +604,11 @@ def suffix_rarity_per_level(
     zero-variance or single-row levels). Levels beyond a sequence's
     length are simply absent (the reference's NaN cells)."""
     sfx = _suffix_rows(df, seq_col, order_col, state_col)
-    freq = sfx.groupBy("k", "suffix").agg(F.count(F.lit(1)).alias("freq"))
-    joined = sfx.join(freq, ["k", "suffix"])
-    n_seqs = joined.select("seq_id").distinct().agg(
-        F.count(F.lit(1)).alias("_n")
+    # freq via window count + base-table N (see suffix_rarity)
+    joined = sfx.withColumn(
+        "freq", F.count(F.lit(1)).over(Window.partitionBy("k", "suffix"))
     )
+    n_seqs = df.agg(F.countDistinct(F.col(seq_col)).alias("_n"))
     rar = joined.crossJoin(F.broadcast(n_seqs)).select(
         "seq_id",
         "k",
@@ -555,7 +624,7 @@ def suffix_rarity_per_level(
     mstats = rar.groupBy("k").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("rarity").alias("s1"),
-        (F.countDistinct("rarity") == 1).alias("zv"),
+        (F.min("rarity") == F.max("rarity")).alias("zv"),
     )
     dev = F.col("rarity") - F.col("s1") / F.col("cnt")
     stats = (

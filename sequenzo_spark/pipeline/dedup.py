@@ -64,6 +64,27 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs
 
 
+def _shingle_rows(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc_id, sh) for docs with ≥1 shingle — the shared head of every
+    shingle-based operator.
+
+    The ≥n-token filter runs on the CHEAP token count BEFORE the spread,
+    not on ``size(shingles)>0`` after it: Catalyst pushes a filter through
+    the repartition by substituting the alias, so the old post-projection
+    filter re-evaluated the whole shingle expression on the UNSPREAD scan
+    partition — single-threaded, ~3 s of the 5 s shingle stage at sf0.1
+    (guide §4.4's duplicated-evaluation trap, with plain expressions).
+    Semantics identical: the shingle array is empty iff tokens < n (and
+    null text tokenizes to null → filter drops it, as the old size-0
+    filter did)."""
+    pre = docs.filter(F.size(tokens_col(text_col)) >= n)
+    return _spread(pre).select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
+    )
+
+
 def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
     """Distinct word n-gram shingles as an array column (whole-stage
     codegen: sequence + transform + slice, no UDF).
@@ -107,12 +128,14 @@ def ngram_jaccard_pairs(
     lower bound of true Jaccard; pairs whose similarity lives on rare
     shingles are still found exactly. Default 10k: inert at test scale,
     bounds any single shingle's join fan-out to 10⁸ rows at 100 TB."""
-    docs = _spread(docs)
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = _shingle_rows(docs, text_col, id_col, n)
+    # explode_outer, not explode: InferFiltersFromGenerate synthesizes a
+    # size(sh)>0 filter for plain explode, and filter pushdown then
+    # re-evaluates the WHOLE shingle expression below the spread exchange
+    # — single-threaded on the scan partition (~3 s at sf0.1). The arrays
+    # are provably non-empty (≥n-token pre-filter), so outer ≡ inner.
     ex = sh.select(
-        "doc_id", F.explode("sh").alias("s"), F.size("sh").alias("c")
+        "doc_id", F.explode_outer("sh").alias("s"), F.size("sh").alias("c")
     )
     if max_shingle_df:
         hot = (
@@ -161,10 +184,7 @@ def minhash_signatures(
     — every "hash function" then depends on shingle position instead of the
     seed, collapsing MinHash similarity to exact-array-alignment (bug found
     by the minhash_verified_pairs oracle check in round 3)."""
-    docs = _spread(docs)
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = _shingle_rows(docs, text_col, id_col, n)
 
     def _hasher(seed: int):
         return lambda s: F.xxhash64(s, F.lit(seed))
@@ -216,9 +236,12 @@ def minhash_lsh_candidates(
     # Band join carries ONLY (doc_id, band, bucket) through the shuffle —
     # never the 64-long signatures (signature payload on both sides of a
     # skewed self-join was the round-1 perf finding).
+    # explode_outer: the array is literal-length (bands structs, never
+    # empty) and outer explode stops InferFiltersFromGenerate from
+    # duplicating the band-hash expressions into a pre-filter
     bucketed = sig.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -434,11 +457,7 @@ def minhash_verified_pairs(
     (the driver gate records any deterministic miss as a hash mismatch)."""
     raw_cand = minhash_lsh_candidates(docs, n_hashes, bands, n, text_col, id_col)
     cand = raw_cand.select("d1", "d2")
-    sh = (
-        _spread(docs)
-        .select(F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
+    sh = _shingle_rows(docs, text_col, id_col, n)
     j = cand.join(
         sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1")), "d1"
     ).join(

@@ -138,7 +138,11 @@ def _bucket_rows(
         ]
     )
     return df.select(
-        F.col(id_col).alias(out_id), F.explode(arr).alias("tb")
+        # explode_outer: the array is literal-length (n_tables structs,
+        # never empty); plain explode makes InferFiltersFromGenerate
+        # duplicate EVERY bucket dot-product into a synthesized
+        # size(...)>0 pre-filter — 2× the LSH hashing cost per row
+        F.col(id_col).alias(out_id), F.explode_outer(arr).alias("tb")
     ).select(out_id, "tb.table", "tb.bucket")
 
 

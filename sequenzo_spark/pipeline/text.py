@@ -21,10 +21,13 @@ def quality_metrics(
     toks = tokens_col(text_col)
     n_tok = F.when(empty, F.lit(0)).otherwise(F.size(toks))
     n_distinct = F.when(empty, F.lit(0)).otherwise(F.size(F.array_distinct(toks)))
+    # Σ token lengths == non-whitespace chars of the trimmed text (tokens
+    # are the \s+-split pieces, so trimmed = tokens ⊎ whitespace runs):
+    # one native regexp instead of the per-token transform+aggregate fold,
+    # which Spark evaluates interpreted (higher-order functions are
+    # excluded from codegen — guide §4.1: prefer built-ins).
     tok_chars = F.when(empty, F.lit(0)).otherwise(
-        F.aggregate(
-            F.transform(toks, F.length), F.lit(0), lambda acc, v: acc + v
-        )
+        F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
     )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.when(empty, F.lit(0)).otherwise(

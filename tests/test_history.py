@@ -62,5 +62,7 @@ def test_history_rejects_overlong_duration(spark):
     dur = spark.createDataFrame(
         [("s0", 5, True)], "seq_id string, time int, event boolean"
     )
-    with pytest.raises(ValueError):
-        sequence_history_data(_df(spark, seqs), dur)
+    # validation is folded into the plan (no eager driver job at build
+    # time — optimization r6): the error surfaces at the first action
+    with pytest.raises(Exception, match="duration exceeds sequence length"):
+        sequence_history_data(_df(spark, seqs), dur).collect()
