@@ -14,6 +14,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from sequenzo_spark.pipeline.dedup import _spread
+
+
+def _no_pushdown(cond: F.Column) -> F.Column:
+    """Wrap a filter condition so Catalyst cannot push it below the
+    parallelizing repartition: OR-prefix with an always-false
+    NONDETERMINISTIC term (monotonically_increasing_id() is ≥ 0 by
+    construction, so the predicate's VALUE is unchanged, but predicates
+    containing a nondeterministic subexpression are never pushed, and OR
+    terms are not split). Without this the 32 interpreted hyperplane dot
+    products of the LSH candidate filter sink into the single-partition
+    parquet scan and run on one core (guide §2 — the local fixture files
+    are one row group, i.e. unsplittable)."""
+    return (F.monotonically_increasing_id() < 0) | cond
+
 
 def _dot(a, b) -> F.Column:
     return F.aggregate(
@@ -68,15 +83,27 @@ def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
 
 
 def signature_bits_col(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Sign-LSH bucket id: bit i = 1[<v, plane_i> >= 0]."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-    return bucket
+    """Sign-LSH bucket id: bit i = 1[<v, plane_i> >= 0].
+
+    The planes travel as ONE nested-array literal instead of per-plane
+    CreateArray trees of 64 double literals each: a plan carrying
+    thousands of literal nodes cost ~2 s of optimizer + Janino work per
+    run (regenerated every execution — expression ids defeat the codegen
+    cache). Bit values are unchanged: same dot fold (left-to-right from
+    0.0 over elementwise double products), 2^i term ≡ the old
+    shiftleft(1,i), bits OR-accumulated as a disjoint sum."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    idx = F.sequence(F.lit(0), F.lit(len(planes) - 1))
+    bits = F.transform(
+        idx,
+        lambda i: F.when(
+            _dot(F.col(vec_col), F.element_at(planes_lit, i + 1)) >= 0,
+            F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc + b
+    )
 
 
 def lsh_cosine_topk(
@@ -109,8 +136,13 @@ def lsh_cosine_topk(
         eq = signature_bits_col(vec_col, planes) == F.lit(qb)
         cond = eq if cond is None else (cond | eq)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # On a parallel scan the bucket filter pushes into the scan (the
+    # design point at cluster scale); on the local single-row-group
+    # fixture that would serialize 32 interpreted dot products per row
+    # onto one core, so spread first and pin the filter above the
+    # repartition (see _no_pushdown).
     scored = (
-        vectors.filter(cond)
+        _spread(vectors).filter(_no_pushdown(cond))
         .select(
             F.col(id_col).alias("vec_id"),
             cosine_col(F.col(vec_col), q).alias("cosine"),
@@ -137,11 +169,13 @@ def _bucket_rows(
             for t, planes in enumerate(tables_planes)
         ]
     )
-    return df.select(
+    return _spread(df).select(
         # explode_outer: the array is literal-length (n_tables structs,
         # never empty); plain explode makes InferFiltersFromGenerate
         # duplicate EVERY bucket dot-product into a synthesized
-        # size(...)>0 pre-filter — 2× the LSH hashing cost per row
+        # size(...)>0 pre-filter — 2× the LSH hashing cost per row.
+        # _spread parallelizes the interpreted dot products off the
+        # single-task local scan (projections stay above the repartition).
         F.col(id_col).alias(out_id), F.explode_outer(arr).alias("tb")
     ).select(out_id, "tb.table", "tb.bucket")
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from sequenzo_spark.pipeline.dedup import tokens_col
+from sequenzo_spark.pipeline.dedup import _spread, tokens_col
 
 STOPWORDS = ["the", "a", "of", "to", "in", "and", "is"]
 
@@ -17,6 +17,9 @@ def quality_metrics(
     """Per-doc quality signals: token counts, type/token ratio, mean token
     length, stopword ratio, alpha ratio — the classic cheap quality filters
     for web-scale corpus cleaning."""
+    # spread: the token HOFs below are interpreted and the local fixture
+    # scan is one task (projections stay above the repartition)
+    docs = _spread(docs)
     empty = F.length(F.trim(F.col(text_col))) == 0
     toks = tokens_col(text_col)
     n_tok = F.when(empty, F.lit(0)).otherwise(F.size(toks))
@@ -57,6 +60,7 @@ def doc_fingerprint(
     Detects bag-of-words duplicates (reordered/duplicated-token copies)."""
     toks = tokens_col(text_col)
     canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    docs = _spread(docs)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(canon).alias("fingerprint"),
