@@ -50,8 +50,17 @@ def main() -> None:
     # >2× from nondeterministic spills.
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     shutil.rmtree(args.out, ignore_errors=True)  # before the session: the
-    # shuffle/spill dir lives under args.out
-    local_dir = f"{args.out}/_spark_local"
+    # shuffle/spill dir lives under args.out unless tmpfs is available
+    # Shuffle/spill scratch on tmpfs when present (ephemeral by nature;
+    # table writes stay on args.out's filesystem so the measured pipeline
+    # still writes durable parquet). On a cluster the equivalent knob is
+    # SPARK_LOCAL_DIRS pointed at local SSDs — override via
+    # SPARK_GRAFT_LOCAL_DIR.
+    scratch_root = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else args.out,
+    )
+    local_dir = f"{scratch_root}/_spark_local_{os.getpid()}"
     spark = get_spark(
         f"bench-cascade-{args.cores}",
         cores=args.cores,
@@ -106,6 +115,7 @@ def main() -> None:
         )
     )
     spark.stop()
+    shutil.rmtree(local_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

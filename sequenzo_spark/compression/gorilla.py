@@ -344,49 +344,80 @@ def gorilla_compress_chunks(
     ts_col: str,
     value_col: str,
 ):
-    """applyInPandas: one Gorilla chunk row per key group.
+    """One Gorilla chunk row per key group.
 
-    Groups arrive as Arrow batches; inside each group the points are sorted
-    by timestamp (never shuffle order) so encoding is deterministic at any
-    parallelism. Returns DataFrame(key_cols…, n_points, ts_blob, ts_bits,
-    val_blob, val_bits, raw_bytes, enc_bytes)."""
+    Round-6 shape: repartition by key + sortWithinPartitions(key, ts) +
+    ``mapInPandas`` over the partition's Arrow batch stream, slicing the
+    contiguous key groups with a carry buffer across batch boundaries.
+    The previous ``groupBy().applyInPandas`` framed EVERY key group as its
+    own Arrow exchange — per-group serialization overhead × thousands of
+    small chunk groups dominated the cascade's gorilla stage (guide §4.1:
+    pay the Python boundary per batch, not per row/group). Blobs are
+    bit-identical: each group's points arrive in the same ascending-ts
+    order (ts is unique within a chunk key — tier time buckets), and the
+    same encode kernels run per group. Per-task memory is bounded by one
+    Arrow batch plus the largest single group.
+
+    Returns DataFrame(key_cols…, n_points, ts_blob, ts_bits, val_blob,
+    val_bits, raw_bytes, enc_bytes)."""
     import pandas as pd
+    from pyspark.sql import functions as F
 
     from sequenzo_spark import ensure_workers_can_import
 
     ensure_workers_can_import(df.sparkSession)
-    spark_df = df
     key_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
-        for f in spark_df.schema
+        for f in df.schema
         if f.name in key_cols
     )
     schema = f"{key_fields}, {CHUNK_SCHEMA_SUFFIX}"
+    kc = list(key_cols)
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        ts = (
-            pdf[ts_col]
-            .astype("datetime64[us]")
-            .astype("int64")
-            .to_numpy()
-        )
+    def _encode_group(pdf: pd.DataFrame) -> dict:
+        ts = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         vals = pdf[value_col].astype("float64").to_numpy()
         ts_blob, ts_bits, nn = encode_timestamps(ts)
         val_blob, val_bits, _ = encode_values(vals)
-        row = {k: [pdf[k].iloc[0]] for k in key_cols}
+        row = {k: pdf[k].iloc[0] for k in kc}
         row.update(
-            n_points=[nn],
-            ts_blob=[ts_blob],
-            ts_bits=[ts_bits],
-            val_blob=[val_blob],
-            val_bits=[val_bits],
-            raw_bytes=[nn * 16],
-            enc_bytes=[len(ts_blob) + len(val_blob)],
+            n_points=nn,
+            ts_blob=ts_blob,
+            ts_bits=ts_bits,
+            val_blob=val_blob,
+            val_bits=val_bits,
+            raw_bytes=nn * 16,
+            enc_bytes=len(ts_blob) + len(val_blob),
         )
-        return pd.DataFrame(row)
+        return row
 
-    return spark_df.groupBy(*key_cols).applyInPandas(enc, schema=schema)
+    def enc_stream(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            keys = pdf[kc]
+            change = (keys != keys.shift()).any(axis=1).to_numpy()
+            change[0] = True
+            starts = np.flatnonzero(change)
+            # the last group may continue into the next batch — carry it
+            carry = pdf.iloc[starts[-1] :]
+            rows = [
+                _encode_group(pdf.iloc[s:e])
+                for s, e in zip(starts[:-1], starts[1:])
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
+        if carry is not None and len(carry):
+            yield pd.DataFrame([_encode_group(carry)])
+
+    clustered = df.repartition(*[F.col(k) for k in kc]).sortWithinPartitions(
+        *kc, ts_col
+    )
+    return clustered.mapInPandas(enc_stream, schema=schema)
 
 
 def gorilla_decompress_chunks(chunks_df, key_cols: list[str], value_col: str):

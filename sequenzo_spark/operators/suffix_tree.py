@@ -95,15 +95,24 @@ def _suffix_rows(
         return _hashed_key_rows(
             df, seq_col, order_col, state_col, True
         ).select("seq_id", F.col("t").alias("k"), F.col("prefix").alias("suffix"))
-    w = (
+    # Descending order with an UNBOUNDED-PRECEDING frame, then reverse:
+    # Spark evaluates unbounded-FOLLOWING (shrinking) frames by
+    # re-aggregating the whole frame for EVERY row — O(T²) collect_list
+    # work per sequence — while the unbounded-preceding frame grows
+    # incrementally (O(T)); the reverse restores ascending suffix order.
+    # k = rows from here to the end = row_number in descending order.
+    wd = (
         Window.partitionBy(seq_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wr = Window.partitionBy(seq_col).orderBy(F.col(order_col).desc())
     return df.select(
         F.col(seq_col).alias("seq_id"),
-        F.count(F.lit(1)).over(w).alias("k"),
-        F.concat_ws(SEP, F.collect_list(state_col).over(w)).alias("suffix"),
+        F.row_number().over(wr).cast("long").alias("k"),  # long like the old count()
+        F.concat_ws(
+            SEP, F.reverse(F.collect_list(state_col).over(wd))
+        ).alias("suffix"),
     )
 
 
