@@ -778,14 +778,21 @@ def q_subseq_group_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequenzo_spark.functions.seqops import to_event_rows
     from sequenzo_spark.operators.subsequences import (
         compare_group_subsequences,
+        release_stats_caches,
     )
 
+    release_stats_caches()
     turns = _event_turns(spark, sf_dir)
     ev = to_event_rows(turns)
     groups = turns.select("seq_id").distinct().select(
         "seq_id", (F.col("seq_id") % 2).alias("group")
     )
-    out = compare_group_subsequences(ev, groups, SUBSEQ_PATTERNS)
+    # persist_stats: the per-event aggregate feeds one cnt_df branch per
+    # pattern plus the dense-seqs frame — uncached it re-derived the whole
+    # event window pipeline once per pattern
+    out = compare_group_subsequences(
+        ev, groups, SUBSEQ_PATTERNS, persist_stats=True
+    )
     return out.select(
         "subseq",
         F.round("statistic", R).alias("statistic"),

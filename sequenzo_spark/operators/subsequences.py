@@ -375,6 +375,7 @@ def compare_group_subsequences(
     order_col: str = "pos",
     event_col: str = "event",
     group_col: str = "group",
+    persist_stats: bool = False,
 ) -> DataFrame:
     """Chi-square association between pattern presence and a group label —
     compare_groups semantics (core.py:785, _chi_square_tests :1614): a
@@ -389,7 +390,8 @@ def compare_group_subsequences(
     caller (the reference delegates it to scipy's chi2 CDF); ranking by
     statistic at fixed dof gives the same ordering."""
     pres = count_subsequence_occurrences(
-        events, patterns, "presence", seq_col, order_col, event_col
+        events, patterns, "presence", seq_col, order_col, event_col,
+        persist_stats=persist_stats,
     )
     g = groups.select(
         F.col(seq_col).alias("seq_id"), F.col(group_col).alias("group")

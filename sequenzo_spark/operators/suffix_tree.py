@@ -340,14 +340,13 @@ def select_by_score(
         )
         strict = (sc < F.lit(s_star)) if low else (sc > F.lit(s_star))
         budget = k - cached.where(strict).count()
-        tw = Window.orderBy(
-            F.col("seq_id").asc() if low else F.col("seq_id").desc()
-        )
+        # boundary ties ranked by seq_id via TakeOrdered (bounded per-
+        # partition top-k, no single-partition exchange anywhere)
         tie_sel = (
             cached.where(sc == F.lit(s_star))
             .select("seq_id")
-            .withColumn("_tie_rk", F.row_number().over(tw))
-            .where(F.col("_tie_rk") <= budget)
+            .orderBy(F.col("seq_id").asc() if low else F.col("seq_id").desc())
+            .limit(int(budget))
             .select("seq_id", F.lit(1).alias("_tie_sel"))
         )
         out = cached.join(F.broadcast(tie_sel), "seq_id", "left")

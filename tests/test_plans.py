@@ -181,6 +181,35 @@ def test_emlt_cooccurrence_is_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_topp_selection_has_no_global_window(spark):
+    """Round-6: the ungrouped top_proportion selection derives its
+    threshold from aggregates (count + bounded top-k order statistic) and
+    ranks only the boundary ties via TakeOrdered — the returned plan must
+    contain NO single-partition exchange and NO window with an empty
+    partition spec (the round-5 verdict's scale-killer funnelled every
+    per-sequence score through one task)."""
+    from sequenzo_spark.driver_queries import QUERIES
+    from sequenzo_spark.operators.suffix_tree import release_suffix_caches
+
+    for q in ("suffix_convergence_topp", "prefix_divergence_topp"):
+        plan = _plan(QUERIES[q](spark, SF_DIR))
+        # every ordered window must be PARTITIONED: an unpartitioned spec
+        # reads windowspecdefinition(<expr> ASC ..., frame) — nothing
+        # before the first ordering expression — while partitioned specs
+        # list the partition columns first (comma before the first ASC/
+        # DESC). (Global-aggregate merge exchanges over partial rows are
+        # fine; a global WINDOW over the scored rows is the bug.)
+        for chunk in plan.split("windowspecdefinition(")[1:]:
+            for marker in (" ASC", " DESC"):
+                if marker in chunk.split("specifiedwindowframe")[0]:
+                    head = chunk.split(marker, 1)[0]
+                    assert "," in head, f"{q}: unpartitioned window: {chunk[:160]}"
+                    break
+        # the boundary-tie rank plans as a bounded TakeOrdered
+        assert "TakeOrderedAndProject" in plan, f"{q}:\n{plan[:2000]}"
+        release_suffix_caches()
+
+
 def test_suffix_convergence_broadcasts_level_stats(spark):
     """Both per-level moment tables (max-length rows) must re-attach to
     the rarity rows via broadcast joins, not shuffles."""
