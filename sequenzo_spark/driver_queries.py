@@ -1034,7 +1034,9 @@ def q_badness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequenzo_spark.operators.ranked import badness_index
 
     turns = _event_turns(spark, sf_dir)
-    out = badness_index(turns)
+    # declared alphabet: sorted(EVENT_STATES) == the operator's derived
+    # sorted-distinct default at every SF, minus one eager distinct job
+    out = badness_index(turns, state_order=sorted(EVENT_STATES))
     return out.select("seq_id", F.round("badness", R).alias("badness"))
 
 
@@ -1046,7 +1048,7 @@ def q_degradation_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequenzo_spark.operators.ranked import degradation_index
 
     turns = _event_turns(spark, sf_dir)
-    out = degradation_index(turns)
+    out = degradation_index(turns, state_order=sorted(EVENT_STATES))
     return out.select(
         "seq_id", F.round("degradation", R).alias("degradation")
     )
@@ -1074,7 +1076,9 @@ def q_duration_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequenzo_spark.operators.features import duration_features
 
     turns = _event_turns(spark, sf_dir)
-    out = duration_features(turns)
+    out = duration_features(
+        turns, state_groups={s: [s] for s in sorted(EVENT_STATES)}
+    )
     return out.select("seq_id", "feature", "value")
 
 

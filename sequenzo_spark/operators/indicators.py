@@ -439,11 +439,22 @@ def turbulence(
                 f"max_length must be >= 1 (and >= the actual max sequence "
                 f"length); got {max_length}"
             )
-        maxlength = (
-            int(max_length)
-            if max_length is not None
-            else (out.agg(F.max("_len")).first()[0] or 1)
-        )
+        if max_length is not None:
+            maxlength = int(max_length)
+        else:
+            # probe the max sequence length from the BASE rows (column-
+            # pruned scan + count per seq), not from the spell pipeline:
+            # the old out.agg(max(_len)) probe re-ran the whole window +
+            # spell aggregation a second time. Equal by construction:
+            # _len = Σ spell durations = # non-null-state turns.
+            maxlength = (
+                df.filter(F.col(state_col).isNotNull())
+                .groupBy(F.col(seq_col))
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .agg(F.max("_c"))
+                .first()[0]
+                or 1
+            )
         k = len(states)
         nrep = -(-int(maxlength) // k)
         synth = (list(states) * nrep)[: int(maxlength)]
