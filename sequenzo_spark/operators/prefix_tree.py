@@ -366,6 +366,7 @@ def prefix_divergence(
         quantile_p=quantile_p,
         min_count=min_count,
         group_col=group_col,
+        cache_registry=_LIVE_PREFIX_CACHES,
     )
     # selection threshold: carried as the ``_thr`` column by select_by_score
     # (worst selected score for top_proportion, the percentile for quantile)

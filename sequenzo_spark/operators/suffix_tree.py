@@ -263,6 +263,7 @@ def select_by_score(
     quantile_p: float | None,
     min_count: int,
     group_col: str | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Rank/quantile selection over an aggregated standardized score —
     the reference's "top_proportion" / "quantile" branches
@@ -322,8 +323,12 @@ def select_by_score(
         # by seq_id}, where s* = the k-th most extreme score. s* is exactly
         # the worst selected score, i.e. the old window formulation's
         # max/min-over-selected threshold.
+        # register in the CALLER's registry (prefix callers release via
+        # release_prefix_caches — a suffix-only registration would leak a
+        # live cache across that release, letting a re-built identical
+        # plan silently reuse it: the round-3 cache-assisted-warm trap)
         cached = scored.persist()
-        _LIVE_SUFFIX_CACHES.append(cached)
+        (_LIVE_SUFFIX_CACHES if cache_registry is None else cache_registry).append(cached)
         n_valid = cached.where(sc.isNotNull()).count()
         k = min(max(math.floor(p * n_valid), int(min_count)), n_valid)
         if k <= 0:
@@ -373,7 +378,7 @@ def select_by_score(
         # whole-frame window percentile: same function, same multiset),
         # broadcast back — no single-partition window
         cached = scored.persist()
-        _LIVE_SUFFIX_CACHES.append(cached)
+        (_LIVE_SUFFIX_CACHES if cache_registry is None else cache_registry).append(cached)
         thr_df = cached.agg(
             F.expr(f"percentile({score_col}, {q!r})").alias("_thr")
         )
