@@ -506,26 +506,43 @@ def suffix_convergence(
             F.collect_list(F.struct((-F.col("k")).alias("nk"), F.col("z")))
         ).alias("_zs")
     )
-    za = F.transform(F.col("_zs"), lambda s: s["z"])
     w = int(window)
-    starts = starts_of(za, min_t, w, max_t)
-    cands = F.filter(
+    # STAGED projections (round-6, mirror of prefix_divergence): za and the
+    # candidate-window array are each computed ONCE into a column —
+    # interpreted HOFs get no common-subexpression elimination, so the flat
+    # form re-evaluated the transform/filter chain per output column and
+    # the za transform per lambda invocation (O(T²) per row).
+    staged = per.select(
+        "seq_id",
+        *gcols,
+        F.transform(F.col("_zs"), lambda s: s["z"]).alias("_za"),
+    )
+    zac = F.col("_za")
+    cands_expr = F.filter(
         F.transform(
-            starts,
+            starts_of(zac, min_t, w, max_t),
             lambda p: F.struct(
-                p.alias("p"), F.array_max(F.slice(za, p, w)).alias("wmax")
+                p.alias("p"), F.array_max(F.slice(zac, p, w)).alias("wmax")
             ),
         ),
-        lambda c: ~F.exists(F.slice(za, c["p"], w), lambda x: x.isNull()),
+        lambda c: ~F.exists(F.slice(zac, c["p"], w), lambda x: x.isNull()),
     )
-    wmaxs = F.transform(cands, lambda c: c["wmax"])
-    std_score = F.when(F.size(wmaxs) > 0, F.array_min(wmaxs))
+    staged = staged.select("seq_id", *gcols, cands_expr.alias("_cands"))
+    cands = F.col("_cands")
+    std_score = F.when(
+        F.size(cands) > 0,
+        F.array_min(F.transform(cands, lambda c: c["wmax"])),
+    )
     if method == "zscore":
         thr = F.lit(-float(z_threshold))
-        passed = F.filter(
+        passed_expr = F.filter(
             cands,
             lambda c: (c["wmax"] <= thr) if inclusive else (c["wmax"] < thr),
         )
+        staged = staged.select(
+            "seq_id", *gcols, cands, passed_expr.alias("_passed")
+        )
+        passed = F.col("_passed")
         converged = F.when(F.size(passed) > 0, F.lit(1)).otherwise(F.lit(0))
         first_t = F.when(
             F.size(passed) > 0,
@@ -535,16 +552,17 @@ def suffix_convergence(
                 lambda acc, x: F.least(acc, x),
             ),
         ).otherwise(F.lit(0))
-        return per.select(
+        return staged.select(
             "seq_id",
             *gcols,
             std_score.alias("std_score"),
             converged.cast("long").alias("converged"),
             first_t.cast("long").alias("first_convergence_t"),
         )
-    scored = per.select(
-        "seq_id", *gcols, std_score.alias("std_score"),
-        F.col("_zs").alias("_zs")
+    # ``_cands`` rides through the selection so the first-crossing scan
+    # below reuses the staged array instead of rebuilding it from _zs
+    scored = staged.select(
+        "seq_id", *gcols, std_score.alias("std_score"), cands
     )
     # rank/quantile methods: select on std_score, then earliest window
     # whose max z is ≤ the selection threshold (reference :449-560)
@@ -560,17 +578,7 @@ def suffix_convergence(
     )
     # selection threshold: carried as the ``_thr`` column by select_by_score
     # (worst selected score for top_proportion, the percentile for quantile)
-    za3 = F.transform(F.col("_zs"), lambda s: s["z"])
-    cands3 = F.filter(
-        F.transform(
-            starts_of(za3, min_t, w, max_t),
-            lambda p: F.struct(
-                p.alias("p"), F.array_max(F.slice(za3, p, w)).alias("wmax")
-            ),
-        ),
-        lambda c: ~F.exists(F.slice(za3, c["p"], w), lambda x: x.isNull()),
-    )
-    hit = F.filter(cands3, lambda c: c["wmax"] <= F.col("_thr"))
+    hit = F.filter(F.col("_cands"), lambda c: c["wmax"] <= F.col("_thr"))
     first_t = F.when(
         (F.col("selected") == 1) & (F.size(hit) > 0),
         F.aggregate(
