@@ -19,7 +19,7 @@ Python in the hot path):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Persisted MinHash signature tables currently alive. A caller-side
 # transformation on the result DataFrame silently drops a monkey-patched
@@ -137,14 +137,23 @@ def ngram_jaccard_pairs(
     ex = sh.select(
         "doc_id", F.explode_outer("sh").alias("s"), F.size("sh").alias("c")
     )
+    # Round-6 shape: shingle document-frequency via ONE window count over s.
+    # (a) df == 1 shingles can never co-occur, so dropping them before the
+    #     self-join removes every unique shingle from the join input (the
+    #     bulk of the rows on real corpora) without changing a single pair
+    #     or intersection count — denominators c are computed from the full
+    #     shingle sets above, before any df pruning;
+    # (b) the window's hash-partitioning on s IS the join partitioning, so
+    #     both self-join sides reuse one Exchange (guide §2.4) instead of
+    #     the previous plan's three evaluations of the explode (df
+    #     aggregate + both join sides);
+    # (c) df > max_shingle_df rows are dropped by the same filter — the
+    #     separate broadcast anti-join subtree is gone.
+    ex = ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+    keep = F.col("df") >= 2
     if max_shingle_df:
-        hot = (
-            ex.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("s")
-        )
-        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+        keep = keep & (F.col("df") <= max_shingle_df)
+    ex = ex.filter(keep).drop("df")
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (

@@ -52,6 +52,18 @@ def cosine_col(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side mirror of ``_norm`` with the identical IEEE operation
+    sequence (left-to-right acc + x·x, then sqrt) — bit-equal to evaluating
+    the expression on the literal array, computed once instead of per row."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def brute_force_cosine_topk(
     vectors: DataFrame,
     query_vec: list[float],
@@ -60,9 +72,12 @@ def brute_force_cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = F.lit(_py_norm(query_vec))
     scored = vectors.select(
         F.col(id_col).alias("vec_id"),
-        cosine_col(F.col(vec_col), q).alias("cosine"),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * qn)).alias(
+            "cosine"
+        ),
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
@@ -141,11 +156,14 @@ def lsh_cosine_topk(
     # fixture that would serialize 32 interpreted dot products per row
     # onto one core, so spread first and pin the filter above the
     # repartition (see _no_pushdown).
+    qn = F.lit(_py_norm(query_vec))
     scored = (
         _spread(vectors).filter(_no_pushdown(cond))
         .select(
             F.col(id_col).alias("vec_id"),
-            cosine_col(F.col(vec_col), q).alias("cosine"),
+            (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * qn)).alias(
+                "cosine"
+            ),
         )
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
@@ -221,13 +239,23 @@ def lsh_cosine_topk_batch(
         .select("query_id", "vec_id")
         .distinct()
     )
+    # norms precomputed ONCE per vector/query row (same left-to-right fold,
+    # bit-identical cosine) instead of re-evaluated per candidate pair —
+    # interpreted HOF lambdas have no CSE, so the per-pair norm was ~40% of
+    # the scoring stage's work (guide §4.1: fewer expression evaluations)
     cand = cand.join(
-        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_v"),
+            _norm(F.col(vec_col)).alias("_vn"),
+        ),
         "vec_id",
     ).join(
         F.broadcast(
             queries.select(
-                F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_q")
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("_q"),
+                _norm(F.col(vec_col)).alias("_qn"),
             )
         ),
         "query_id",
@@ -235,7 +263,9 @@ def lsh_cosine_topk_batch(
     scored = cand.select(
         "query_id",
         "vec_id",
-        cosine_col(F.col("_v"), F.col("_q")).alias("cosine"),
+        (_dot(F.col("_v"), F.col("_q")) / (F.col("_vn") * F.col("_qn"))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
