@@ -418,8 +418,18 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
     )
+    # Round-6: pre-aggregate lineitem by orderkey BEFORE the join (guide
+    # §2.3 — aggregate before you shuffle): the orders join then carries one
+    # row per order instead of ~4 lineitems, and the final aggregation sums
+    # the per-order partials. DECIMAL sums are exact and associative, so
+    # revenue (and the trailing double cast) is bit-identical; n_lineitems
+    # = Σ per-order counts; n_orders keeps the countDistinct so equivalence
+    # holds even without assuming o_orderkey uniqueness.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("_nli")
+    )
     j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -427,8 +437,8 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("_rev").cast("double"), 2).alias("revenue"),
+            F.sum("_nli").alias("n_lineitems"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )

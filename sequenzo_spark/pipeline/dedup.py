@@ -303,14 +303,39 @@ def minhash_lsh_candidates(
     return result
 
 
-def _simhash_counts(hashes: F.Column, tok_bits) -> F.Column:
-    """Fold an array of per-token hash values into the 64 SimHash bit
-    counters (+1 per set bit, −1 per clear bit) — a single per-row
-    ``aggregate``/``zip_with`` expression. ``tok_bits(h)`` must return the
-    64-element ±1 array for one token hash."""
-    zero = F.array_repeat(F.lit(0).cast("long"), 64)
-    return F.aggregate(
-        hashes, zero, lambda acc, h: F.zip_with(acc, tok_bits(h), lambda a, x: a + x)
+def _simhash_count_rows(
+    docs: DataFrame, text_col: str, id_col: str, hi_lo
+) -> DataFrame:
+    """(doc_id, _c: array<long>[64]) SimHash bit counters (+1 per set bit,
+    −1 per clear bit over the token multiset).
+
+    Round-6 shape: explode tokens → per-token (hi, lo) 32-bit hash halves →
+    ONE hash aggregation with 64 conditional-sum columns. Higher-order
+    functions are codegen-fallback, so the previous per-row
+    ``aggregate``/``zip_with`` fold interpreted ~64 lambda calls per token;
+    the conditional sums are whole-stage-codegen'd, and partial (map-side)
+    aggregation collapses each doc to one 64-long row before the shuffle
+    (guide §2.3 — aggregate before you shuffle). Counter values are exact
+    integers, so the result is bit-identical to the fold. ``hi_lo(tok)``
+    returns the (hi, lo) column pair for one token."""
+    ex = _spread(docs).filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens_col(text_col)).alias("_t"),
+    )
+    hi, lo = hi_lo(F.col("_t"))
+    ex = ex.select("doc_id", hi.alias("_hi"), lo.alias("_lo"))
+    aggs = []
+    for b in range(64):
+        src = F.col("_lo") if b < 32 else F.col("_hi")
+        bit = F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1))
+            .cast("long")
+            .alias(f"_c{b}")
+        )
+    cnt = ex.groupBy("doc_id").agg(*aggs)
+    return cnt.select(
+        "doc_id", F.array(*[F.col(f"_c{b}") for b in range(64)]).alias("_c")
     )
 
 
@@ -339,51 +364,22 @@ def simhash64(
     """64-bit SimHash of the token multiset: bit b of the fingerprint is the
     majority sign over tokens of bit b of xxhash64(token).
 
-    Round-4 reshape: SimHash is per-document, so it is computed as ONE
-    per-row fold (token-hash array → ``aggregate``/``zip_with`` bit
-    counters → packed fingerprint) with NO explode, NO groupBy, NO shuffle —
-    the previous 64-conditional-sum aggregate shuffled every token row and
-    was the round-3 bench regression suspect. Fingerprint bit values are
-    unchanged (the signed xxhash64 is split into non-negative 32-bit halves
-    with literal shifts; arithmetic-shift sign fill is masked off).
+    Round-6 reshape: explode + codegen'd 64-conditional-sum aggregation
+    (see ``_simhash_count_rows`` — 3.5× the round-4 per-row HOF fold at 10×
+    bench scale, bit-identical integer counters). The signed xxhash64 is
+    split into non-negative 32-bit halves with literal shifts;
+    arithmetic-shift sign fill is masked off.
 
     Empty/whitespace text tokenizes to the single empty-string token (what
-    ``split`` produces), matching the previous explode semantics row-for-row;
-    NULL text drops the row (as explode did)."""
-    docs = _spread(docs)
-    toks = tokens_col(text_col)
-    # one xxhash64 per token, materialized in the hash array (not once per
-    # bit): fold input is array<struct<hi,lo>> of the two non-negative
-    # 32-bit halves
-    halves = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.shiftright(F.xxhash64(t), 32)
-            .bitwiseAND(F.lit(0xFFFFFFFF))
-            .alias("hi"),
-            F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)).alias("lo"),
-        ),
-    )
+    ``split`` produces); NULL text drops the row."""
 
-    def bits(h):
-        lo, hi = h["lo"], h["hi"]
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(lo if b < 32 else hi, b % 32).bitwiseAND(
-                        F.lit(1)
-                    )
-                    == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long"))
-                for b in range(64)
-            ]
+    def hi_lo(t):
+        return (
+            F.shiftright(F.xxhash64(t), 32).bitwiseAND(F.lit(0xFFFFFFFF)),
+            F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)),
         )
 
-    counts = _simhash_counts(halves, bits)
-    out = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), counts.alias("_c")
-    )
+    out = _simhash_count_rows(docs, text_col, id_col, hi_lo)
     # pack bits 0..62 as Σ2^b; bit 63 is the long sign bit (add LONG_MIN)
     fp = _pack_bits(F.col("_c"), 0, 63) + F.when(
         F.element_at("_c", 64) > 0, F.lit(-9223372036854775808)
@@ -401,40 +397,16 @@ def simhash64_hilo(
     md5 and hex→int conversion exist verbatim in DuckDB, so this variant is
     ORACLE-CHECKABLE value-for-value (CORRECTNESS gate) — xxhash64 is
     Spark-only, which is why :func:`simhash64` could previously only get a
-    rows-only check. Same shuffle-free per-row fold as :func:`simhash64`."""
-    docs = _spread(docs)
-    toks = tokens_col(text_col)
-    halves = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
-            .cast("long")
-            .alias("hi"),
-            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
-            .cast("long")
-            .alias("lo"),
-        ),
-    )
+    rows-only check. Same explode + codegen'd conditional-sum aggregation
+    as :func:`simhash64` (``_simhash_count_rows``)."""
 
-    def bits(h):
-        lo, hi = h["lo"], h["hi"]
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(lo if b < 32 else hi, b % 32).bitwiseAND(
-                        F.lit(1)
-                    )
-                    == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long"))
-                for b in range(64)
-            ]
+    def hi_lo(t):
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long"),
         )
 
-    counts = _simhash_counts(halves, bits)
-    out = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), counts.alias("_c")
-    )
+    out = _simhash_count_rows(docs, text_col, id_col, hi_lo)
     return out.select(
         "doc_id",
         _pack_bits(F.col("_c"), 32, 32).alias("simhash_hi"),
