@@ -150,7 +150,7 @@ def emlt(
                     time-ascending order, OBSERVED ones only (the
                     reference's "active" set);
       freq        — np.ndarray of situation weights;
-      transrate   — S×S upper-triangular rate matrix (np.nan below);
+      transrate   — S×S upper-triangular rate matrix (0.0 below);
       profiles    — S×S time-discounted row-normalized profiles;
       distances   — S×S squared-Euclidean profile distances;
       benz        — Benzécri double-centered covariance;

@@ -306,7 +306,7 @@ def parse_subsequence(sstr: str) -> list[str]:
     subset with strictly increasing sequence indices, never constraining
     pattern-internal timestamps — so "(a)-(b,c)" counts identically to
     "(a)-(b)-(c)" under the default (unconstrained) search. The flattened
-    pattern must still fit the engine's 3-event cap."""
+    pattern must still fit the engine's 4-event cap."""
     s = sstr.strip()
     if s.startswith("(") and s.endswith(")"):
         s = s[1:-1]

@@ -139,10 +139,15 @@ def _check_job_config(
     salt_buckets: int,
     states: list[str],
     use_refined: bool,
+    compress: bool,
 ) -> None:
     """Refuse to resume a job whose partitioning/alphabet config drifted —
     a different salt_buckets would silently mix two incompatible bucketings
-    in the same tables (caught live by a verification probe)."""
+    in the same tables (caught live by a verification probe). ``compress``
+    is part of the config because Gorilla chunk output commits with the
+    fused rollup_1h1d batches: resuming a compress=False run with
+    compress=True (or vice versa) would silently skip chunk output for the
+    already-committed batches (round-5 advisor finding)."""
     import json
     import os
 
@@ -152,10 +157,14 @@ def _check_job_config(
         salt_buckets=salt_buckets,
         states=list(states),
         use_refined_alphabet=use_refined,
+        compress=bool(compress),
     )
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
+        # configs written before the compress key existed ran with the
+        # default; fill it in so legacy out_roots stay resumable
+        prev.setdefault("compress", True)
         if prev != cfg:
             raise ValueError(
                 f"job config drift for out_root={out_root}: previous run used "
@@ -186,7 +195,8 @@ def run_cascade(
 ) -> CascadeResult:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     _check_job_config(
-        spark, out_root, job_id, salt_buckets, states, use_refined_alphabet
+        spark, out_root, job_id, salt_buckets, states, use_refined_alphabet,
+        compress,
     )
     manifest = Manifest(spark, f"{out_root}/_manifest")
     res = CascadeResult(job_id=job_id)

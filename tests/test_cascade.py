@@ -158,3 +158,20 @@ def test_cascade_empty_input(spark, raw, tmp_path):
         spark, empty, out, states=ROLE_ALPHABET, salt_buckets=SALT, job_id="je"
     )
     assert all(v == 0 for v in res.rows_out.values())
+
+
+def test_compress_flag_is_config_drift(spark, raw, tmp_path):
+    """Gorilla chunk output commits with the fused rollup_1h1d batches, so
+    resuming a compress=False run with compress=True would silently skip
+    chunk output for already-committed batches — the config check must
+    refuse instead (round-5 advisor finding)."""
+    out = str(tmp_path / "cascade_drift")
+    run_cascade(
+        spark, raw, out, states=ROLE_ALPHABET, salt_buckets=SALT,
+        job_id="jc", compress=False,
+    )
+    with pytest.raises(ValueError, match="config drift"):
+        run_cascade(
+            spark, raw, out, states=ROLE_ALPHABET, salt_buckets=SALT,
+            job_id="jc", compress=True,
+        )
