@@ -159,15 +159,22 @@ def test_prefix_divergence_broadcasts_depth_stats(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_simhash_plan_has_no_aggregate_shuffle(spark):
-    """simhash is per-document: the only exchange allowed is the input
-    spread repartition — no hash-aggregate exchange (the round-3 shape
-    shuffled every token row)."""
+def test_simhash_aggregates_map_side_before_shuffle(spark):
+    """Round-6: simhash is an explode + codegen'd 64-conditional-sum hash
+    aggregation (HOF folds are codegen-fallback; the conditional sums are
+    3.5× faster at 10× bench scale). The plan invariant: the aggregation
+    must be a PARTIAL (map-side) hash aggregate pair, so the doc_id
+    exchange carries one 64-long row per doc per map partition — never the
+    exploded token rows — and no Python boundary appears."""
     from sequenzo_spark.pipeline.dedup import simhash64
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(simhash64(docs))
-    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+    # partial + final pair: two HashAggregate nodes around the exchange
+    assert plan.count("HashAggregate") == 2, plan
+    assert "partial_sum" in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
 def test_emlt_cooccurrence_is_equijoin(spark):
