@@ -330,11 +330,20 @@ def extract_image_features(
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
                 rows = []
-                for _, r in chunk.iterrows():
-                    img = decode_image(r[bcol], r[mcol], fake=fake_decode)
+                # zip over column arrays, not .iterrows(): iterrows builds
+                # a pandas Series per row (~10× the per-row overhead of the
+                # scalar decode's bookkeeping); values identical (guide §4.2
+                # — keep the Python loop lean around the inherent per-image
+                # decode)
+                for rid, rb, rmeta in zip(
+                    chunk[id_col].to_numpy(),
+                    chunk[bcol].to_numpy(),
+                    chunk[mcol].to_numpy(),
+                ):
+                    img = decode_image(rb, rmeta, fake=fake_decode)
                     rows.append(
                         (
-                            r[id_col],
+                            rid,
                             float(img[:, :, 0].mean()),
                             float(img[:, :, 1].mean()),
                             float(img[:, :, 2].mean()),
@@ -342,7 +351,7 @@ def extract_image_features(
                             int(
                                 np.int64(
                                     int.from_bytes(
-                                        bytes(r[bcol])[:8], "big", signed=True
+                                        bytes(rb)[:8], "big", signed=True
                                     )
                                 )
                             ),
