@@ -209,3 +209,22 @@ def test_simhash_hilo_matches_python_md5_reference(spark):
             sum(1 << b for b in range(32) if counts[b] > 0),
         )
         assert got[doc_id] == want, doc_id
+
+
+def test_ngram_prefix_filter_mode_identical(spark, docs):
+    """prefix_filter=True (Bayardo-style candidate generation + capped-array
+    rescore) must produce BIT-IDENTICAL pairs and Jaccard values to the
+    direct self-join, at several thresholds (the completeness proof's
+    overlap bound i >= ceil(tau*|full|) is exercised at each)."""
+    for tau in (0.5, 0.8, 0.9):
+        direct = sorted(
+            tuple(r) for r in ngram_jaccard_pairs(docs, threshold=tau).collect()
+        )
+        pf = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=tau, prefix_filter=True
+            ).collect()
+        )
+        assert direct == pf, (tau, len(direct), len(pf))
+        assert len(direct) > 0  # planted near-dups exist at every tau here
